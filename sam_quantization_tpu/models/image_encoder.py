@@ -1,0 +1,328 @@
+"""ViTDet-style SAM image encoder, functional JAX.
+
+Capability counterpart of ``segment_anything/modeling/image_encoder.py``
+(reference, GPU/torch): 16×16 conv patch embed, absolute position embedding,
+``depth`` transformer blocks (windowed attention except at
+``global_attn_indexes``), decomposed relative-position bias, and a two-conv
+neck to 256 channels.
+
+TPU-first design notes:
+  * window partition is a parameterized reshape/transpose — the reference
+    fork hard-codes ViT-H shapes (image_encoder.py:297-305, 324-328); here
+    any (grid, window) pair traces.
+  * everything is NHWC; the token stream is kept as (B, H, W, C) so the
+    windowed/global switch is pure reshaping, which XLA folds into layouts.
+  * attention can run through the fused Pallas flash-attention kernel
+    (``ops/flash_attention.py``) or a plain XLA path; both consume the same
+    precomputed decomposed rel-pos tiles (counterpart of
+    gptq_triton/fused_attention.py:122-125).
+  * apply functions are exposed per-block (``block_apply``) so the GPTQ
+    sequential calibrator can stream one block at a time, like the
+    reference's layer-by-layer Catcher (gptq4sam.py:311-412) but without
+    exception-based control flow.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sam_quantization_tpu.models.configs import ImageEncoderConfig
+from sam_quantization_tpu.nn import functional as F
+from sam_quantization_tpu.quant.context import NULL_CTX
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init(key: jax.Array, cfg: ImageEncoderConfig) -> dict:
+    keys = jax.random.split(key, cfg.depth + 4)
+    params = {
+        "patch_embed": F.init_conv2d(
+            keys[0], cfg.patch_size, cfg.patch_size, cfg.in_chans, cfg.embed_dim
+        ),
+        "neck": {
+            "conv1": F.init_conv2d(keys[1], 1, 1, cfg.embed_dim, cfg.out_chans, bias=False),
+            "ln1": F.init_layer_norm(cfg.out_chans),
+            "conv2": F.init_conv2d(keys[2], 3, 3, cfg.out_chans, cfg.out_chans, bias=False),
+            "ln2": F.init_layer_norm(cfg.out_chans),
+        },
+        "blocks": [],
+    }
+    if cfg.use_abs_pos:
+        params["pos_embed"] = jnp.zeros(
+            (1, cfg.grid_size, cfg.grid_size, cfg.embed_dim), jnp.float32
+        )
+    for i in range(cfg.depth):
+        params["blocks"].append(init_block(keys[3 + i], cfg, i))
+    return params
+
+
+def init_block(key: jax.Array, cfg: ImageEncoderConfig, i: int) -> dict:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    h, w = cfg.block_input_size(i)
+    p = {
+        "norm1": F.init_layer_norm(cfg.embed_dim),
+        "attn": {
+            "qkv": F.init_linear(k1, cfg.embed_dim, 3 * cfg.embed_dim, bias=cfg.qkv_bias),
+            "proj": F.init_linear(k2, cfg.embed_dim, cfg.embed_dim),
+        },
+        "norm2": F.init_layer_norm(cfg.embed_dim),
+        "mlp": {
+            "lin1": F.init_linear(k3, cfg.embed_dim, cfg.mlp_dim),
+            "lin2": F.init_linear(k4, cfg.mlp_dim, cfg.embed_dim),
+        },
+    }
+    if cfg.use_rel_pos:
+        p["attn"]["rel_pos_h"] = jnp.zeros((2 * h - 1, cfg.head_dim), jnp.float32)
+        p["attn"]["rel_pos_w"] = jnp.zeros((2 * w - 1, cfg.head_dim), jnp.float32)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Window partition (parameterized; ref image_encoder.py:282-333)
+# ---------------------------------------------------------------------------
+
+
+def window_partition(x: jax.Array, ws: int) -> Tuple[jax.Array, Tuple[int, int]]:
+    """(B, H, W, C) → (B * nw, ws, ws, C) with zero padding to multiples."""
+    B, H, W, C = x.shape
+    pad_h = (-H) % ws
+    pad_w = (-W) % ws
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.reshape(B, Hp // ws, ws, Wp // ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, C)
+    return x, (Hp, Wp)
+
+
+def window_unpartition(
+    windows: jax.Array, ws: int, pad_hw: Tuple[int, int], hw: Tuple[int, int]
+) -> jax.Array:
+    Hp, Wp = pad_hw
+    H, W = hw
+    B = windows.shape[0] // ((Hp // ws) * (Wp // ws))
+    x = windows.reshape(B, Hp // ws, Wp // ws, ws, ws, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, -1)
+    return x[:, :H, :W]
+
+
+# ---------------------------------------------------------------------------
+# Decomposed relative position bias (ref image_encoder.py:336-408)
+# ---------------------------------------------------------------------------
+
+
+def get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
+    """Select (q_size, k_size, head_dim) rel-pos rows; linear-resize if the
+    table length mismatches (ref get_rel_pos, image_encoder.py:336-360)."""
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel_dist:
+        rel_pos = jax.image.resize(
+            rel_pos, (max_rel_dist, rel_pos.shape[1]), method="linear"
+        )
+    q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return jnp.take(rel_pos, rel.astype(jnp.int32), axis=0)
+
+
+def decomposed_rel_pos_tiles(
+    q: jax.Array,
+    rel_pos_h: jax.Array,
+    rel_pos_w: jax.Array,
+    q_size: Tuple[int, int],
+    k_size: Tuple[int, int],
+) -> Tuple[jax.Array, jax.Array]:
+    """Precompute the two bias tiles ``rel_h (B, qh, qw, kh)`` and
+    ``rel_w (B, qh, qw, kw)`` with ``q (B, qh*qw, d)``.
+
+    The full bias is ``rel_h[..., :, None] + rel_w[..., None, :]``; both the
+    XLA path and the Pallas flash kernel consume the tiles directly instead of
+    materializing the (L, L) bias (same trick as the Triton kernel's two bias
+    tensors, gptq_triton/fused_attention.py:122-125, 232-239).
+    """
+    q_h, q_w = q_size
+    k_h, k_w = k_size
+    Rh = get_rel_pos(q_h, k_h, rel_pos_h).astype(q.dtype)
+    Rw = get_rel_pos(q_w, k_w, rel_pos_w).astype(q.dtype)
+    r_q = q.reshape(q.shape[0], q_h, q_w, q.shape[-1])
+    rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, Rh)
+    rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, Rw)
+    return rel_h, rel_w
+
+
+def add_decomposed_rel_pos(
+    attn: jax.Array,
+    q: jax.Array,
+    rel_pos_h: jax.Array,
+    rel_pos_w: jax.Array,
+    q_size: Tuple[int, int],
+    k_size: Tuple[int, int],
+) -> jax.Array:
+    q_h, q_w = q_size
+    k_h, k_w = k_size
+    rel_h, rel_w = decomposed_rel_pos_tiles(q, rel_pos_h, rel_pos_w, q_size, k_size)
+    B = attn.shape[0]
+    attn = attn.reshape(B, q_h, q_w, k_h, k_w)
+    attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
+    return attn.reshape(B, q_h * q_w, k_h * k_w)
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+
+def attention(
+    p: dict,
+    x: jax.Array,
+    cfg: ImageEncoderConfig,
+    ctx=NULL_CTX,
+    path: str = "attn",
+    attn_impl: str = "auto",
+) -> jax.Array:
+    """Multi-head attention over (B, H, W, C) tokens with decomposed rel-pos.
+
+    Observation points mirror fq_vit/models/sam/image_encoder.py:446-478.
+    """
+    B, H, W, C = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    L = H * W
+    qkv = ctx.linear(f"{path}.qkv", p["qkv"], x.reshape(B, L, C))
+    qkv = ctx.act(f"{path}.qact1", qkv)
+    qkv = qkv.reshape(B, L, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]  # (B, nh, L, hd)
+    q2 = q.reshape(B * nh, L, hd)
+
+    use_flash = attn_impl == "flash" or (
+        attn_impl == "auto"
+        and type(ctx) is type(NULL_CTX)  # FP/GPTQ only; FQ needs the hooks
+        and jax.default_backend() == "tpu"
+    )
+    if use_flash:
+        from sam_quantization_tpu.ops import flash_attention
+
+        rel_h, rel_w = (None, None)
+        if cfg.use_rel_pos:
+            rel_h, rel_w = decomposed_rel_pos_tiles(
+                q2, p["rel_pos_h"], p["rel_pos_w"], (H, W), (H, W)
+            )
+        out = flash_attention.flash_attention_relpos(
+            q.reshape(B, nh, L, hd),
+            k.reshape(B, nh, L, hd),
+            v.reshape(B, nh, L, hd),
+            rel_h.reshape(B, nh, L, H) if rel_h is not None else None,
+            rel_w.reshape(B, nh, L, W) if rel_w is not None else None,
+            scale=hd**-0.5,
+        )
+        x = out.reshape(B, nh, H, W, hd).transpose(0, 2, 3, 1, 4).reshape(B, H, W, C)
+    else:
+        k2 = k.reshape(B * nh, L, hd)
+        v2 = v.reshape(B * nh, L, hd)
+        attn = jnp.einsum(
+            "bqc,bkc->bqk", q2 * (hd**-0.5), k2, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        attn = ctx.act(f"{path}.qact_attn1", attn)
+        scale_path = f"{path}.qact_attn1"
+        if cfg.use_rel_pos:
+            attn = add_decomposed_rel_pos(
+                attn, q2, p["rel_pos_h"], p["rel_pos_w"], (H, W), (H, W)
+            )
+            attn = ctx.act(f"{path}.rel_pos_qact", attn)
+            scale_path = f"{path}.rel_pos_qact"
+        attn = ctx.softmax(f"{path}.softmax", attn, scale_path=scale_path)
+        out = jnp.einsum("bqk,bkc->bqc", attn, v2, preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype)
+        x = out.reshape(B, nh, H, W, hd).transpose(0, 2, 3, 1, 4).reshape(B, H, W, C)
+    x = ctx.act(f"{path}.qact2", x)
+    x = ctx.linear(f"{path}.proj", p["proj"], x)
+    x = ctx.act(f"{path}.qact3", x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Block / encoder
+# ---------------------------------------------------------------------------
+
+
+def block_apply(
+    p: dict,
+    x: jax.Array,
+    cfg: ImageEncoderConfig,
+    block_idx: int,
+    ctx=NULL_CTX,
+    path: Optional[str] = None,
+    attn_impl: str = "auto",
+) -> jax.Array:
+    """One transformer block on (B, H, W, C) (ref Block.forward,
+    image_encoder.py:189-207; observation points fq_vit image_encoder.py:313-331)."""
+    path = path or f"blocks.{block_idx}"
+    ws = cfg.block_window(block_idx)
+    in_path = f"blocks.{block_idx - 1}.qact4" if block_idx > 0 else "qact_embed"
+    shortcut = x
+    x = ctx.layer_norm(
+        f"{path}.norm1", p["norm1"], x, cfg.ln_eps,
+        in_path=in_path, out_path=f"{path}.qact1",
+    )
+    x = ctx.act(f"{path}.qact1", x)
+    H, W = x.shape[1], x.shape[2]
+    if ws > 0:
+        x, pad_hw = window_partition(x, ws)
+    x = attention(p["attn"], x, cfg, ctx, f"{path}.attn", attn_impl)
+    if ws > 0:
+        x = window_unpartition(x, ws, pad_hw, (H, W))
+    x = ctx.act(f"{path}.qact2", shortcut + x, ln_input=True)
+    h = ctx.layer_norm(
+        f"{path}.norm2", p["norm2"], x, cfg.ln_eps,
+        in_path=f"{path}.qact2", out_path=f"{path}.qact3",
+    )
+    h = ctx.act(f"{path}.qact3", h)
+    h = ctx.linear(f"{path}.mlp.lin1", p["mlp"]["lin1"], h)
+    h = F.gelu(h)
+    h = ctx.act(f"{path}.mlp.qact1", h)
+    h = ctx.linear(f"{path}.mlp.lin2", p["mlp"]["lin2"], h)
+    h = ctx.act(f"{path}.mlp.qact2", h)
+    x = ctx.act(f"{path}.qact4", x + h, ln_input=True)
+    return x
+
+
+def embed(p: dict, x: jax.Array, cfg: ImageEncoderConfig, ctx=NULL_CTX) -> jax.Array:
+    """Patch embed + abs pos embed. x: (B, H, W, 3) NHWC image → (B, h, w, C)."""
+    x = ctx.conv2d(
+        "patch_embed", p["patch_embed"], x, stride=cfg.patch_size, padding=0
+    )
+    if cfg.use_abs_pos:
+        x = x + p["pos_embed"].astype(x.dtype)
+    x = ctx.act("qact_embed", x, ln_input=True)
+    return x
+
+
+def neck(p: dict, x: jax.Array, cfg: ImageEncoderConfig, ctx=NULL_CTX) -> jax.Array:
+    """1×1 conv → LN2d → 3×3 conv → LN2d (ref image_encoder.py:88-104).
+    NHWC in, NHWC out (channels-last; callers convert if they need NCHW)."""
+    x = ctx.conv2d("neck.conv1", p["neck"]["conv1"], x, stride=1, padding=0)
+    x = F.layer_norm_2d(p["neck"]["ln1"], x, cfg.ln_eps)
+    x = ctx.act("neck.qact1", x)
+    x = ctx.conv2d("neck.conv2", p["neck"]["conv2"], x, stride=1, padding=1)
+    x = F.layer_norm_2d(p["neck"]["ln2"], x, cfg.ln_eps)
+    x = ctx.act("neck.qact2", x)
+    return x
+
+
+def apply(
+    p: dict,
+    x: jax.Array,
+    cfg: ImageEncoderConfig,
+    ctx=NULL_CTX,
+    attn_impl: str = "auto",
+) -> jax.Array:
+    """Full encoder: (B, H, W, 3) image → (B, h, w, out_chans) embedding."""
+    x = embed(p, x, cfg, ctx)
+    for i in range(cfg.depth):
+        x = block_apply(p["blocks"][i], x, cfg, i, ctx, attn_impl=attn_impl)
+    return neck(p, x, cfg, ctx)

@@ -1,0 +1,191 @@
+"""Packed low-bit linear-layer parameters, laid out for TPU unpacking.
+
+The reference packs GPTQ weights as ``qweight int32 (K/8, N)`` with the 8
+nibbles of each word holding *adjacent* rows of the weight matrix, unpacked on
+GPU with a per-lane shifter (``gptq_triton/quant_linear.py:66-116, 337-339``).
+That interleaved layout is hostile to the TPU vector unit: unpacking one word
+scatters rows into adjacent sublanes, a strided write the VPU can't do.
+
+Here we use a **block-planar** layout: K is split into pack blocks of
+``pack_block`` rows; within each block, the ``per = 32 // bits`` values of a
+packed word hold rows ``pack_block/per`` apart. Unpacking a block is then
+``per`` independent shift+mask ops, each yielding a *contiguous*
+(pack_block/per, N) tile, concatenated along sublanes — pure VPU work with no
+shuffles, and each K-tile of a Pallas grid unpacks a contiguous row range.
+
+Scales/zeros are per-group along K (group g covers rows
+``g*groupsize:(g+1)*groupsize``) and per output channel, matching the
+reference's group semantics (``gptq.py:113-124``). ``pack_block`` always
+divides ``groupsize`` (or equals it), so group boundaries align with pack
+blocks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def default_pack_block(in_features: int, bits: int) -> int:
+    per = 32 // bits
+    pb = min(128, in_features)
+    while in_features % pb != 0 or pb % per != 0:
+        pb //= 2
+        if pb < per:
+            raise ValueError(f"cannot find pack block for K={in_features}, bits={bits}")
+    return pb
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PackedLinear:
+    """Quantized linear parameters: ``y = x @ dequant(qweight) + bias``.
+
+    Attributes:
+      qweight: int32 (K // per, N) block-planar packed weights.
+      scales: f32 (G, N) per-group, per-output-channel scales.
+      zeros: f32 (G, N) zero points on the integer grid (stored as float).
+      bias: optional f32 (N,).
+      bits: weight bit width (2, 4, or 8).
+      groupsize: K rows per scale group (== K when ungrouped).
+      pack_block: rows per planar pack block; divides groupsize.
+    """
+
+    qweight: jax.Array
+    scales: jax.Array
+    zeros: jax.Array
+    bias: Optional[jax.Array]
+    bits: int = dataclasses.field(metadata=dict(static=True), default=4)
+    in_features: int = dataclasses.field(metadata=dict(static=True), default=0)
+    out_features: int = dataclasses.field(metadata=dict(static=True), default=0)
+    groupsize: int = dataclasses.field(metadata=dict(static=True), default=0)
+    pack_block: int = dataclasses.field(metadata=dict(static=True), default=128)
+
+    @property
+    def values_per_word(self) -> int:
+        return 32 // self.bits
+
+    @property
+    def num_groups(self) -> int:
+        return self.in_features // self.groupsize
+
+
+def pack_int_weights(
+    int_weight: jax.Array | np.ndarray,
+    scales: jax.Array | np.ndarray,
+    zeros: jax.Array | np.ndarray,
+    bias: Optional[jax.Array],
+    bits: int,
+    groupsize: int = 0,
+) -> PackedLinear:
+    """Pack integer grid weights (K, N), values in [0, 2^bits - 1].
+
+    ``w[k, n] = (int_weight[k, n] - zeros[k // groupsize, n]) * scales[k // groupsize, n]``.
+    """
+    int_weight = jnp.asarray(int_weight)
+    K, N = int_weight.shape
+    if bits not in (2, 4, 8):
+        raise ValueError(f"packing supports bits in (2, 4, 8); got {bits}")
+    per = 32 // bits
+    g = groupsize if groupsize > 0 else K
+    pb = default_pack_block(K, bits)
+    if g % pb != 0:
+        pb = default_pack_block(g, bits)
+    rows_per_plane = pb // per
+    # Block-planar: within each pack block, word row r8 of plane s holds
+    # original in-block row s * rows_per_plane + r8.
+    w = int_weight.astype(jnp.uint32).reshape(K // pb, per, rows_per_plane, N)
+    shifts = (jnp.arange(per, dtype=jnp.uint32) * bits).reshape(1, per, 1, 1)
+    packed = jnp.sum((w << shifts).astype(jnp.uint32), axis=1, dtype=jnp.uint32)
+    packed = jax.lax.bitcast_convert_type(packed, jnp.int32).reshape(K // per, N)
+    scales = jnp.asarray(scales, jnp.float32)
+    zeros = jnp.asarray(zeros, jnp.float32)
+    if scales.ndim == 1:
+        scales = scales[None, :]
+    if zeros.ndim == 1:
+        zeros = zeros[None, :]
+    return PackedLinear(
+        qweight=packed,
+        scales=scales,
+        zeros=zeros,
+        bias=None if bias is None else jnp.asarray(bias, jnp.float32),
+        bits=bits,
+        in_features=K,
+        out_features=N,
+        groupsize=g,
+        pack_block=pb,
+    )
+
+
+def unpack_words(qwords: jax.Array, bits: int, pack_block: int) -> jax.Array:
+    """Unpack block-planar int32 words (R, N) → int32 grid values (R * per, N).
+
+    ``qwords`` must cover whole pack blocks (R divisible by pack_block/per).
+    This is the exact op the Pallas kernel runs per K-tile: shift+mask into
+    ``per`` contiguous planes, then a reshape-free concatenate along rows.
+    """
+    per = 32 // bits
+    R, N = qwords.shape
+    rows_per_plane = pack_block // per
+    mask = jnp.uint32((1 << bits) - 1)
+    q = jax.lax.bitcast_convert_type(qwords, jnp.uint32)
+    qb = q.reshape(R // rows_per_plane, rows_per_plane, N)
+    planes = [
+        ((qb >> jnp.uint32(s * bits)) & mask).astype(jnp.int32) for s in range(per)
+    ]
+    out = jnp.concatenate(planes, axis=1)  # (blocks, pack_block, N)
+    return out.reshape(R * per, N)
+
+
+def unpack_to_int(p: PackedLinear) -> jax.Array:
+    """Full int32 grid values of shape (K, N)."""
+    return unpack_words(p.qweight, p.bits, p.pack_block)
+
+
+def dequantize(p: PackedLinear, dtype=jnp.float32) -> jax.Array:
+    """Full dequantized (K, N) weight matrix: ``(q - zero) * scale`` per group
+    (reference semantics at gptq_triton/quant_linear.py:280-300, minus its
+    off-by-one zero-point storage quirk, which we do not replicate)."""
+    q = unpack_to_int(p).astype(jnp.float32)
+    K, N = q.shape
+    g = p.groupsize
+    qg = q.reshape(K // g, g, N)
+    w = (qg - p.zeros[:, None, :]) * p.scales[:, None, :]
+    return w.reshape(K, N).astype(dtype)
+
+
+def quantize_rtn(
+    w: jax.Array,
+    bits: int,
+    groupsize: int = 0,
+    sym: bool = False,
+    bias: Optional[jax.Array] = None,
+) -> PackedLinear:
+    """Round-to-nearest per-group quantization of a (K, N) weight matrix.
+
+    RTN baseline, counterpart of the reference's ``--nearest`` path
+    (gptq4sam.py:355-367) and main3.py's per-channel RTN.
+    """
+    K, N = w.shape
+    g = groupsize if groupsize > 0 else K
+    maxq = (1 << bits) - 1
+    wg = w.reshape(K // g, g, N).astype(jnp.float32)
+    wmax = jnp.max(wg, axis=1)
+    wmin = jnp.min(wg, axis=1)
+    if sym:
+        m = jnp.maximum(jnp.abs(wmax), jnp.abs(wmin))
+        wmax, wmin = m, -m
+    wmax = jnp.where(wmax == wmin, wmax + 1e-8, wmax)
+    scale = (wmax - wmin) / maxq
+    if sym:
+        zero = jnp.full_like(scale, (maxq + 1) / 2)
+    else:
+        zero = jnp.round(-wmin / scale)
+    q = jnp.clip(jnp.round(wg / scale[:, None, :]) + zero[:, None, :], 0, maxq)
+    return pack_int_weights(
+        q.reshape(K, N).astype(jnp.int32), scale, zero, bias, bits, g
+    )

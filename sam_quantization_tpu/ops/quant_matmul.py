@@ -1,0 +1,209 @@
+"""Fused dequantize + matmul for packed low-bit weights.
+
+TPU-native counterpart of the reference's Triton ``matmul4_kernel``
+(gptq_triton/quant_linear.py:122-352): unpack the packed integer weights,
+dequantize with per-group scales/zeros, and feed the MXU — all inside one
+Pallas kernel so the packed weights are read from HBM exactly once at
+``bits/16`` the bandwidth of a bf16 matmul.
+
+Design differences from the Triton kernel (deliberate, TPU-first):
+  * block-planar packing (see ``nn/packed.py``) so unpack is shift+mask into
+    contiguous sublane tiles — no per-lane shifter table;
+  * fp32 accumulation in VMEM scratch across a sequential K grid, with the
+    MXU consuming bf16 dequantized tiles;
+  * output allocated by XLA (the Triton version writes into a process-global
+    20 MiB workspace buffer, quant_linear.py:13,401-431 — an aliasing hazard
+    we do not replicate);
+  * no NO_GROUPS specialization needed: ungrouped layers simply have one
+    scale group and the same code path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sam_quantization_tpu.nn.packed import PackedLinear, dequantize, unpack_words
+
+
+INTERPRET = False  # set True to run kernels in interpreter mode (CPU tests)
+
+
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def quant_matmul(x: jax.Array, p: PackedLinear, *, backend: str | None = None) -> jax.Array:
+    """``x (M, K) @ dequant(p) (K, N) -> (M, N)`` in x.dtype.
+
+    backend: "pallas" | "xla" | None (auto: pallas on TPU).
+    """
+    if backend is None:
+        backend = "pallas" if _use_pallas() else "xla"
+    if backend == "pallas" and not kernel_supported(x, p):
+        backend = "xla"
+    if backend == "xla":
+        return quant_matmul_xla(x, p)
+    return quant_matmul_pallas(x, p)
+
+
+def kernel_supported(x: jax.Array, p: PackedLinear) -> bool:
+    """Shapes the fused kernel handles; others fall back to the XLA path."""
+    M, K = x.shape
+    N = p.out_features
+    return N % 128 == 0 and K % p.pack_block == 0 and _divisor_block(N) is not None
+
+
+def _divisor_block(N: int):
+    for c in (512, 256, 128):
+        if N % c == 0:
+            return c
+    return None
+
+
+def quant_matmul_xla(x: jax.Array, p: PackedLinear) -> jax.Array:
+    """Reference path: dequantize to bf16/f32 then a plain XLA matmul."""
+    w = dequantize(p, x.dtype)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _dequant_tile(qw, scales, zeros, bits, pack_block, compute_dtype):
+    """Unpack + dequantize one (BKp, BN) packed tile → (BK, BN) compute tile."""
+    per = 32 // bits
+    w_int = unpack_words(qw, bits, pack_block)  # (BK, BN) int32
+    BK, BN = w_int.shape
+    G = scales.shape[0]
+    wf = w_int.astype(jnp.float32)
+    wg = wf.reshape(G, BK // G, BN)
+    w = (wg - zeros[:, None, :]) * scales[:, None, :]
+    return w.reshape(BK, BN).astype(compute_dtype)
+
+
+def _qmm_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, pack_block):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = _dequant_tile(qw_ref[:], s_ref[:], z_ref[:], bits, pack_block, x_ref.dtype)
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bits", "groupsize", "pack_block", "block_m", "block_n", "block_k", "interpret"
+    ),
+)
+def _qmm_call(
+    x,
+    qweight,
+    scales,
+    zeros,
+    *,
+    bits,
+    groupsize,
+    pack_block,
+    block_m,
+    block_n,
+    block_k,
+    interpret=False,
+):
+    M, K = x.shape
+    N = qweight.shape[1]
+    per = 32 // bits
+    grid = (pl.cdiv(M, block_m), pl.cdiv(N, block_n), K // block_k)
+    groups_per_bk = max(block_k // groupsize, 1)
+
+    kernel = functools.partial(_qmm_kernel, bits=bits, pack_block=pack_block)
+    flops = 2 * M * N * K
+    bytes_accessed = M * K * x.dtype.itemsize + (K // per) * N * 4 + M * N * x.dtype.itemsize
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_k // per, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((groups_per_bk, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((groups_per_bk, block_n), lambda i, j, k: (k, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(x, qweight, scales, zeros)
+
+
+def pick_blocks(M, N, K, groupsize, pack_block):
+    """Static block-size heuristic (counterpart of the Triton autotune table,
+    gptq_triton/quant_linear.py:144-230, replaced by a shape-driven rule)."""
+    block_m = min(_round_up(M, 128), 512)
+    block_n = _divisor_block(N)
+    # K tile: a multiple of both groupsize-alignment and pack block.
+    bk = max(groupsize if groupsize < K else pack_block, pack_block)
+    while K % bk != 0:
+        bk //= 2
+    # Grow K tile to reduce grid overhead while staying in VMEM budget.
+    while bk * 2 <= min(K, 2048) and K % (bk * 2) == 0:
+        bk *= 2
+    return block_m, block_n, bk
+
+
+def quant_matmul_pallas(x: jax.Array, p: PackedLinear) -> jax.Array:
+    M, K = x.shape
+    N = p.out_features
+    block_m, block_n, block_k = pick_blocks(M, N, K, p.groupsize, p.pack_block)
+    Mp = _round_up(M, block_m)
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    # Broadcast per-group scale rows up to one row per K-tile group slot.
+    gpb = max(block_k // p.groupsize, 1)
+    num_k = K // block_k
+    scales, zeros = p.scales, p.zeros
+    if scales.shape[0] != num_k * gpb:
+        # Ungrouped (or groupsize > block_k): replicate rows so each K-tile
+        # sees its (constant) scale row. groupsize % block_k == 0 holds here.
+        reps = num_k * gpb // scales.shape[0]
+        scales = jnp.repeat(scales, reps, axis=0)
+        zeros = jnp.repeat(zeros, reps, axis=0)
+    out = _qmm_call(
+        x,
+        p.qweight,
+        scales,
+        zeros,
+        bits=p.bits,
+        groupsize=min(p.groupsize, block_k),
+        pack_block=p.pack_block,
+        block_m=block_m,
+        block_n=block_n,
+        block_k=block_k,
+        interpret=INTERPRET,
+    )
+    return out[:M]

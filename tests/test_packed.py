@@ -1,0 +1,64 @@
+"""Pack/unpack/dequantize round-trip and quant-matmul parity tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sam_quantization_tpu.nn import packed
+from sam_quantization_tpu.ops import quant_matmul
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
+@pytest.mark.parametrize("K,groupsize", [(256, 0), (256, 128), (512, 64), (64, 0)])
+def test_pack_roundtrip(bits, K, groupsize, rng):
+    N = 128
+    maxq = (1 << bits) - 1
+    w_int = rng.integers(0, maxq + 1, size=(K, N)).astype(np.int32)
+    g = groupsize if groupsize > 0 else K
+    scales = rng.uniform(0.01, 0.1, size=(K // g, N)).astype(np.float32)
+    zeros = rng.integers(0, maxq + 1, size=(K // g, N)).astype(np.float32)
+    p = packed.pack_int_weights(w_int, scales, zeros, None, bits, groupsize)
+    got = np.asarray(packed.unpack_to_int(p))
+    np.testing.assert_array_equal(got, w_int)
+    w = np.asarray(packed.dequantize(p))
+    want = (w_int.reshape(K // g, g, N) - zeros[:, None, :]) * scales[:, None, :]
+    np.testing.assert_allclose(w, want.reshape(K, N), rtol=1e-6)
+
+
+def test_rtn_reconstruction(rng):
+    w = rng.normal(size=(256, 128)).astype(np.float32)
+    p = packed.quantize_rtn(jnp.asarray(w), bits=8, groupsize=64)
+    wq = np.asarray(packed.dequantize(p))
+    assert np.abs(wq - w).max() < 0.05  # int8 grid error bound
+
+
+@pytest.mark.parametrize("M,K,N,groupsize", [(64, 256, 128, 128), (100, 512, 256, 0)])
+def test_quant_matmul_xla_matches_dense(M, K, N, groupsize, rng):
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    p = packed.quantize_rtn(jnp.asarray(w), bits=4, groupsize=groupsize)
+    wq = packed.dequantize(p)
+    want = x @ np.asarray(wq)
+    got = np.asarray(quant_matmul.quant_matmul_xla(jnp.asarray(x), p))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("M,K,N,groupsize,bits", [
+    (64, 256, 128, 128, 4),
+    (100, 512, 256, 0, 4),
+    (32, 256, 384, 64, 8),
+])
+def test_quant_matmul_pallas_interpret(M, K, N, groupsize, bits, rng):
+    """Fused kernel (interpret mode) vs XLA dequant path."""
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    p = packed.quantize_rtn(jnp.asarray(w), bits=bits, groupsize=groupsize)
+    want = np.asarray(quant_matmul.quant_matmul_xla(jnp.asarray(x), p))
+
+    quant_matmul.INTERPRET = True
+    try:
+        got = np.asarray(quant_matmul.quant_matmul_pallas(jnp.asarray(x), p))
+    finally:
+        quant_matmul.INTERPRET = False
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
