@@ -1,0 +1,175 @@
+"""Interactive click-loop evaluation — the quality north star.
+
+Counterpart of ``script/evaluation2.py:225-334`` (5-click random-error-pixel
+loop reporting mean IoU / Click@k) and ``inference/evaluation.py:16-56`` +
+``inference/utils.py:79-96`` (NoC evaluation to 20 clicks with
+distance-transform click placement).
+
+The model interface is a pair of callables so any backend plugs in (the
+reference swaps torch / ONNX-Runtime / TensorRT engines at the same seam,
+evaluation2.py:254-271):
+
+  encode(image_nhwc_float) -> embedding
+  decode(embedding, coords, labels, mask_input, mask_valid) -> (low_res, iou)
+
+Prompts use fixed padded slots so the decode stays one compiled XLA program
+across the whole loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sam_quantization_tpu.evaluation import metrics
+from sam_quantization_tpu.evaluation.clicker import Clicker, next_random_click
+from sam_quantization_tpu.models import sam as sam_lib
+
+
+@dataclasses.dataclass
+class ClickEvalResult:
+    mean_ious: List[float]  # mean IoU after click k (len = num_clicks)
+    per_sample_ious: List[List[float]]
+    seconds_per_image: float
+
+    @property
+    def click1(self) -> float:
+        return self.mean_ious[0]
+
+    @property
+    def final(self) -> float:
+        return self.mean_ious[-1]
+
+
+def make_sam_backend(model: sam_lib.Sam, ctx=None, attn_impl: str = "auto"):
+    """(encode, decode) closures over a Sam pytree, jit-compiled."""
+    from sam_quantization_tpu.quant.context import NULL_CTX
+
+    ctx = ctx or NULL_CTX
+
+    @jax.jit
+    def encode(x):
+        return sam_lib.encode_image(model, x, ctx, attn_impl=attn_impl)
+
+    @jax.jit
+    def decode(emb, coords, labels, mask_input, mask_valid):
+        low_res, iou = sam_lib.decode_masks(
+            model,
+            emb,
+            points=(coords, labels),
+            mask_inputs=mask_input,
+            mask_valid=mask_valid,
+            multimask_output=False,
+        )
+        size = model.config.image_encoder.img_size
+        B, N = low_res.shape[:2]
+        masks = jax.image.resize(low_res, (B, N, size, size), method="bilinear")
+        return masks, low_res, iou
+
+    return encode, decode
+
+
+def click_loop_eval(
+    encode: Callable,
+    decode: Callable,
+    samples: Iterable[Tuple[np.ndarray, np.ndarray]],
+    num_clicks: int = 5,
+    max_points: int = 24,
+    seed: int = 42,
+    img_size: int = 1024,
+    verbose: bool = False,
+) -> ClickEvalResult:
+    """The 5-click random-click loop (ref evaluation2.py:225-334).
+
+    ``samples`` yields (preprocessed image NHWC float (1, S, S, 3), gt mask
+    (S, S) binary). The mask prompt is fed back from click 2 onward
+    (evaluation2.py:301-306).
+    """
+    rng = np.random.default_rng(seed)
+    all_ious: List[List[float]] = []
+    t0 = time.perf_counter()
+    n = 0
+    for image, gt in samples:
+        n += 1
+        emb = encode(jnp.asarray(image))
+        coords = np.zeros((1, max_points, 2), np.float32)
+        labels = -np.ones((1, max_points), np.float32)
+        h8 = img_size // 4
+        mask_input = jnp.zeros((1, h8, h8, 1), jnp.float32)
+        mask_valid = jnp.zeros((1,), bool)
+        prev_mask = np.zeros_like(gt, dtype=bool)
+        ious: List[float] = []
+        for click in range(num_clicks):
+            (cy, cx), lab = next_random_click(prev_mask, gt, rng)
+            coords[0, click] = (cx, cy)  # model frame is (x, y)
+            labels[0, click] = lab
+            masks, low_res, _iou = decode(
+                emb, jnp.asarray(coords), jnp.asarray(labels), mask_input, mask_valid
+            )
+            mask_input = jnp.transpose(low_res, (0, 2, 3, 1))
+            mask_valid = jnp.ones((1,), bool)
+            pred = np.asarray(masks[0, 0]) > 0
+            prev_mask = pred[: gt.shape[0], : gt.shape[1]]
+            ious.append(metrics.get_iou(gt, prev_mask))
+        all_ious.append(ious)
+        if verbose:
+            print(f"sample {n}: " + " ".join(f"{i:.3f}" for i in ious))
+    elapsed = time.perf_counter() - t0
+    arr = np.asarray(all_ious)
+    return ClickEvalResult(
+        mean_ious=list(arr.mean(axis=0)),
+        per_sample_ious=all_ious,
+        seconds_per_image=elapsed / max(n, 1),
+    )
+
+
+def noc_eval(
+    encode: Callable,
+    decode: Callable,
+    samples: Iterable[Tuple[np.ndarray, np.ndarray]],
+    max_clicks: int = 20,
+    iou_thrs=(0.80, 0.85, 0.90),
+    max_points: int = 24,
+    img_size: int = 1024,
+    pred_thr: float = 0.0,
+):
+    """NoC@τ evaluation with distance-transform clicks
+    (ref inference/evaluation.py:16-56 evaluate_sample + utils.py:79-96)."""
+    all_ious = []
+    t0 = time.perf_counter()
+    n = 0
+    for image, gt in samples:
+        n += 1
+        emb = encode(jnp.asarray(image))
+        clicker = Clicker(gt_mask=gt)
+        coords = np.zeros((1, max_points, 2), np.float32)
+        labels = -np.ones((1, max_points), np.float32)
+        h8 = img_size // 4
+        mask_input = jnp.zeros((1, h8, h8, 1), jnp.float32)
+        mask_valid = jnp.zeros((1,), bool)
+        pred = np.zeros_like(gt, dtype=bool)
+        ious = []
+        for k in range(max_clicks):
+            clicker.make_next_click(pred)
+            for i, c in enumerate(clicker.get_clicks()[:max_points]):
+                coords[0, i] = (c.coords[1], c.coords[0])
+                labels[0, i] = 1.0 if c.is_positive else 0.0
+            masks, low_res, _ = decode(
+                emb, jnp.asarray(coords), jnp.asarray(labels), mask_input, mask_valid
+            )
+            mask_input = jnp.transpose(low_res, (0, 2, 3, 1))
+            mask_valid = jnp.ones((1,), bool)
+            pred = np.asarray(masks[0, 0])[: gt.shape[0], : gt.shape[1]] > pred_thr
+            iou = metrics.get_iou(gt, pred)
+            ious.append(iou)
+            if iou >= max(iou_thrs):
+                break
+        all_ious.append(np.asarray(ious))
+    elapsed = time.perf_counter() - t0
+    noc, over = metrics.compute_noc_metric(all_ious, iou_thrs, max_clicks)
+    return noc, over, elapsed / max(n, 1)

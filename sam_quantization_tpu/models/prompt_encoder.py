@@ -86,6 +86,10 @@ def embed_points(
     pe = pe + jnp.where(lab == -1, p["not_a_point_embed"][0], 0.0)
     pe = pe + jnp.where(lab == 0, p["point_embeddings"][0], 0.0)
     pe = pe + jnp.where(lab == 1, p["point_embeddings"][1], 0.0)
+    # labels 2/3: box corner slots (lets fixed-shape callers pass boxes
+    # through the padded point tensor; ref uses _embed_boxes for these)
+    pe = pe + jnp.where(lab == 2, p["point_embeddings"][2], 0.0)
+    pe = pe + jnp.where(lab == 3, p["point_embeddings"][3], 0.0)
     return pe
 
 

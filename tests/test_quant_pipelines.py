@@ -1,0 +1,116 @@
+"""End-to-end quantization pipeline tests on a tiny encoder."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sam_quantization_tpu.models import image_encoder
+from sam_quantization_tpu.models.configs import VIT_TINY
+from sam_quantization_tpu.nn.packed import PackedLinear
+from sam_quantization_tpu.quant import gptq, sequential
+from sam_quantization_tpu.quant.fq.pipeline import (
+    FQConfig,
+    FQCtx,
+    calibrate_encoder,
+    fq_quantize_weights,
+)
+
+ECFG = VIT_TINY.image_encoder
+
+
+def _setup(rng, nbatches=3):
+    params = image_encoder.init(jax.random.PRNGKey(0), ECFG)
+    # Give pos/rel params some signal (init is zeros)
+    params["pos_embed"] = jnp.asarray(
+        rng.normal(size=params["pos_embed"].shape).astype(np.float32) * 0.02
+    )
+    batches = [
+        jnp.asarray(
+            rng.normal(size=(1, ECFG.img_size, ECFG.img_size, 3)).astype(np.float32)
+        )
+        for _ in range(nbatches)
+    ]
+    return params, batches
+
+
+def _rel_err(a, b):
+    return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-9)
+
+
+def test_gptq_sequential_encoder(rng):
+    params, batches = _setup(rng)
+    fp_out = np.asarray(
+        image_encoder.apply(params, batches[0], ECFG, attn_impl="xla")
+    )
+    qcfg = gptq.GPTQConfig(bits=8, groupsize=32, blocksize=32)
+    qparams, losses = sequential.gptq_quantize_encoder(
+        params, ECFG, batches, qcfg, true_sequential=True
+    )
+    assert len(losses) == ECFG.depth * 4
+    assert all(np.isfinite(v) for v in losses.values())
+    # block linears replaced by packed params
+    assert isinstance(qparams["blocks"][0]["attn"]["qkv"], PackedLinear)
+    q_out = np.asarray(
+        image_encoder.apply(qparams, batches[0], ECFG, attn_impl="xla")
+    )
+    err = _rel_err(q_out, fp_out)
+    assert err < 0.05, err  # int8 should be nearly lossless
+
+
+def test_gptq_int4_better_than_garbage(rng):
+    params, batches = _setup(rng)
+    fp_out = np.asarray(image_encoder.apply(params, batches[0], ECFG, attn_impl="xla"))
+    qcfg = gptq.GPTQConfig(bits=4, groupsize=32, blocksize=32)
+    qparams, _ = sequential.gptq_quantize_encoder(params, ECFG, batches, qcfg)
+    q_out = np.asarray(image_encoder.apply(qparams, batches[0], ECFG, attn_impl="xla"))
+    assert _rel_err(q_out, fp_out) < 0.30
+
+
+def test_rtn_encoder(rng):
+    params, batches = _setup(rng)
+    fp_out = np.asarray(image_encoder.apply(params, batches[0], ECFG, attn_impl="xla"))
+    qcfg = gptq.GPTQConfig(bits=8, groupsize=32)
+    qparams = sequential.rtn_quantize_encoder(params, qcfg)
+    q_out = np.asarray(image_encoder.apply(qparams, batches[0], ECFG, attn_impl="xla"))
+    assert _rel_err(q_out, fp_out) < 0.05
+
+
+def test_fq_calibrate_quantize(rng):
+    params, batches = _setup(rng)
+    fp_out = np.asarray(image_encoder.apply(params, batches[0], ECFG, attn_impl="xla"))
+
+    fqcfg = FQConfig(int_softmax=True, int_norm=True)
+    qp = calibrate_encoder(params, ECFG, fqcfg, batches)
+    # PTF points should have channel-wise scales
+    ln_scales = qp["blocks.0.qact2"][0]
+    assert ln_scales.shape == (ECFG.embed_dim,)
+    # PTF scales are power-of-two multiples of their min
+    ratios = np.asarray(ln_scales / ln_scales.min())
+    assert np.allclose(ratios, 2 ** np.round(np.log2(ratios)), rtol=1e-5)
+
+    wq = fq_quantize_weights(params, fqcfg)
+    ctx = FQCtx("quant", fqcfg, qparams=qp)
+    q_out = np.asarray(image_encoder.apply(wq, batches[0], ECFG, ctx, attn_impl="xla"))
+    assert np.isfinite(q_out).all()
+    err = _rel_err(q_out, fp_out)
+    assert err < 0.35, err
+
+
+def test_fq_quant_without_int_ops(rng):
+    params, batches = _setup(rng)
+    fp_out = np.asarray(image_encoder.apply(params, batches[0], ECFG, attn_impl="xla"))
+    fqcfg = FQConfig(int_softmax=False, int_norm=False, observer_a="ema")
+    qp = calibrate_encoder(params, ECFG, fqcfg, batches)
+    wq = fq_quantize_weights(params, fqcfg)
+    ctx = FQCtx("quant", fqcfg, qparams=qp)
+    q_out = np.asarray(image_encoder.apply(wq, batches[0], ECFG, ctx, attn_impl="xla"))
+    assert np.isfinite(q_out).all()
+    assert _rel_err(q_out, fp_out) < 0.25
+
+
+def test_fq_observer_variants(rng):
+    params, batches = _setup(rng, nbatches=2)
+    for obs in ("minmax", "ema", "percentile", "omse"):
+        fqcfg = FQConfig(observer_a=obs, int_norm=True, int_softmax=True)
+        qp = calibrate_encoder(params, ECFG, fqcfg, batches)
+        assert all(np.isfinite(np.asarray(s)).all() for s, _ in qp.values())
