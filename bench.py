@@ -1,0 +1,82 @@
+"""Headline benchmark: SAM encoder throughput, INT4 fused kernels vs bf16.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": images/s, "unit": "images/s/chip",
+   "vs_baseline": int4_speedup_over_bf16}
+
+Counterpart of the reference's bench_speed (gptq4sam_infer.py:59-79: 100
+iters / 25 warmup at (1, 3, 1024, 1024) fp16) — measured, since the
+reference records no numbers of its own (BASELINE.md).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _throughput(fn, x, iters, warmup):
+    for _ in range(warmup):
+        r = fn(x)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(x)
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+    return x.shape[0] * iters / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="vit_h", choices=["vit_b", "vit_l", "vit_h"])
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--bits", type=int, default=4)
+    ap.add_argument("--groupsize", type=int, default=128)
+    args = ap.parse_args()
+
+    from sam_quantization_tpu.models import image_encoder
+    from sam_quantization_tpu.models.configs import CONFIGS
+    from sam_quantization_tpu.quant import gptq, sequential
+
+    ecfg = CONFIGS[args.model].image_encoder
+    key = jax.random.PRNGKey(0)
+    params = image_encoder.init(key, ecfg)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+    )
+
+    size = ecfg.img_size
+    x = jnp.zeros((args.batch, size, size, 3), jnp.bfloat16)
+
+    print(f"[bench] {args.model} bf16 encoder...", file=sys.stderr, flush=True)
+    fp_fn = jax.jit(lambda x: image_encoder.apply(params, x, ecfg))
+    fp_ips = _throughput(fp_fn, x, args.iters, args.warmup)
+    print(f"[bench] bf16: {fp_ips:.3f} img/s", file=sys.stderr, flush=True)
+
+    qcfg = gptq.GPTQConfig(bits=args.bits, groupsize=args.groupsize)
+    qparams = sequential.rtn_quantize_encoder(params, qcfg)
+    q_fn = jax.jit(lambda x: image_encoder.apply(qparams, x, ecfg))
+    q_ips = _throughput(q_fn, x, args.iters, args.warmup)
+    print(f"[bench] int{args.bits}: {q_ips:.3f} img/s", file=sys.stderr, flush=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"sam_{args.model}_encoder_int{args.bits}_throughput",
+                "value": round(q_ips, 4),
+                "unit": "images/s/chip",
+                "vs_baseline": round(q_ips / fp_ips, 4),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -53,15 +53,26 @@ def _attn_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale, L, kh, kw
     s = s * scale
     BQ, Lp = s.shape
     # Decomposed rel-pos bias: bias[m, n] = rel_h[m, n // kw] + rel_w[m, n % kw].
-    # Materialized as a broadcast over the (kh, kw) factorization of the key
-    # axis — the TPU-native form of the Triton kernel's per-element indexing
-    # (fused_attention.py:232-239).
-    rh = rh_ref[0][:, :kh].astype(jnp.float32)  # (BQ, kh)
-    rw = rw_ref[0][:, :kw].astype(jnp.float32)  # (BQ, kw)
-    bias = rh[:, :, None] + rw[:, None, :]  # (BQ, kh, kw)
-    bias = bias.reshape(BQ, kh * kw)
+    # Expressed as two one-hot selector matmuls (MXU work, no lane shuffles):
+    #   bias = rel_h @ Eh + rel_w @ Ew,  Eh[i, n] = [n // kw == i],
+    #                                    Ew[j, n] = [n %  kw == j]
+    # — the TPU-native form of the Triton kernel's per-element indexing
+    # (fused_attention.py:232-239). Padded key columns get -inf.
+    rh = rh_ref[0].astype(jnp.float32)  # (BQ, KHp)
+    rw = rw_ref[0].astype(jnp.float32)  # (BQ, KWp)
+    khp, kwp = rh.shape[1], rw.shape[1]
+    ids_n_h = jax.lax.broadcasted_iota(jnp.int32, (khp, Lp), 1)
+    ids_k_h = jax.lax.broadcasted_iota(jnp.int32, (khp, Lp), 0)
+    eh = ((ids_n_h // kw == ids_k_h) & (ids_n_h < L)).astype(jnp.float32)
+    ids_n_w = jax.lax.broadcasted_iota(jnp.int32, (kwp, Lp), 1)
+    ids_k_w = jax.lax.broadcasted_iota(jnp.int32, (kwp, Lp), 0)
+    ew = ((ids_n_w % kw == ids_k_w) & (ids_n_w < L)).astype(jnp.float32)
+    bias = jnp.dot(rh, eh, preferred_element_type=jnp.float32) + jnp.dot(
+        rw, ew, preferred_element_type=jnp.float32
+    )
     if Lp > L:
-        bias = jnp.pad(bias, ((0, 0), (0, Lp - L)), constant_values=NEG_INF)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
+        bias = bias + jnp.where(col < L, 0.0, NEG_INF)
     s = s + bias
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)

@@ -91,14 +91,20 @@ def _dequant_tile(qw, scales, zeros, bits, pack_block, compute_dtype):
     return w.reshape(BK, BN).astype(compute_dtype)
 
 
-def _qmm_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, pack_block):
+def _qmm_kernel(
+    x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, pack_block, groups_per_bk
+):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = _dequant_tile(qw_ref[:], s_ref[:], z_ref[:], bits, pack_block, x_ref.dtype)
+    # scales/zeros arrive as (1, groups_per_bk, BN) blocks of a
+    # (num_k_tiles, groups_per_bk, N) array — the leading axis is the K grid,
+    # so no sublane-dynamic slicing is needed (Mosaic can't prove alignment
+    # for thin row slices).
+    w = _dequant_tile(qw_ref[:], s_ref[0], z_ref[0], bits, pack_block, x_ref.dtype)
     acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
 
     @pl.when(k == pl.num_programs(2) - 1)
@@ -136,7 +142,9 @@ def _qmm_call(
     grid = (pl.cdiv(M, block_m), pl.cdiv(N, block_n), K // block_k)
     groups_per_bk = max(block_k // groupsize, 1)
 
-    kernel = functools.partial(_qmm_kernel, bits=bits, pack_block=pack_block)
+    kernel = functools.partial(
+        _qmm_kernel, bits=bits, pack_block=pack_block, groups_per_bk=groups_per_bk
+    )
     flops = 2 * M * N * K
     bytes_accessed = M * K * x.dtype.itemsize + (K // per) * N * 4 + M * N * x.dtype.itemsize
     return pl.pallas_call(
@@ -145,8 +153,8 @@ def _qmm_call(
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
             pl.BlockSpec((block_k // per, block_n), lambda i, j, k: (k, j)),
-            pl.BlockSpec((groups_per_bk, block_n), lambda i, j, k: (k, j)),
-            pl.BlockSpec((groups_per_bk, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, scales.shape[1], block_n), lambda i, j, k: (k, 0, j)),
+            pl.BlockSpec((1, zeros.shape[1], block_n), lambda i, j, k: (k, 0, j)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
@@ -193,6 +201,8 @@ def quant_matmul_pallas(x: jax.Array, p: PackedLinear) -> jax.Array:
         reps = num_k * gpb // scales.shape[0]
         scales = jnp.repeat(scales, reps, axis=0)
         zeros = jnp.repeat(zeros, reps, axis=0)
+    scales = scales.reshape(num_k, gpb, N)
+    zeros = zeros.reshape(num_k, gpb, N)
     out = _qmm_call(
         x,
         p.qweight,
