@@ -1,0 +1,162 @@
+"""Quantization CLI — GPTQ / RTN / FQ-ViT calibration and packing.
+
+Flag-parity counterpart of the reference CLIs:
+  * gptq4sam.py:500-585 (wbits/groupsize/sym/act-order/true-sequential/
+    percdamp/nsamples/nearest);
+  * fq_vit/test_quant.py:24-53 (--quant --ptf --lis --quant-method).
+
+Calibration data: an SBD directory if given, else seeded synthetic scenes
+(datasets aren't bundled; see data/synthetic.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser(parser=None):
+    p = parser or argparse.ArgumentParser("samq-quantize")
+    p.add_argument("model", choices=["vit_b", "vit_l", "vit_h", "vit_tiny"])
+    p.add_argument("--checkpoint", default=None, help="SAM .pth checkpoint")
+    p.add_argument("--save", default=None, help="output artifact directory")
+    p.add_argument("--method", default="gptq", choices=["gptq", "rtn", "fq"])
+    # GPTQ flags (gptq4sam.py:504-585)
+    p.add_argument("--wbits", type=int, default=4, choices=[2, 3, 4, 8, 16])
+    p.add_argument("--groupsize", type=int, default=128)
+    p.add_argument("--sym", action="store_true")
+    p.add_argument("--act-order", action="store_true")
+    p.add_argument("--true-sequential", action="store_true", default=True)
+    p.add_argument("--no-true-sequential", dest="true_sequential", action="store_false")
+    p.add_argument("--percdamp", type=float, default=0.01)
+    p.add_argument("--nsamples", type=int, default=16)
+    p.add_argument("--nearest", action="store_true", help="RTN instead of GPTQ")
+    # FQ flags (fq_vit/test_quant.py:24-53)
+    p.add_argument("--ptf", action="store_true", default=True)
+    p.add_argument("--no-ptf", dest="ptf", action="store_false")
+    p.add_argument("--lis", action="store_true", default=True)
+    p.add_argument("--no-lis", dest="lis", action="store_false")
+    p.add_argument(
+        "--quant-method", default="minmax",
+        choices=["minmax", "ema", "omse", "percentile"],
+    )
+    p.add_argument("--calib-iter", type=int, default=10)
+    # data
+    p.add_argument("--sbd-dir", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def iter_calib_images(args, img_size: int):
+    import jax.numpy as jnp
+
+    from sam_quantization_tpu.data.synthetic import synthetic_samples
+
+    if args.sbd_dir:
+        from sam_quantization_tpu.data.datasets import SBDDataset, preprocess_for_eval
+
+        ds = SBDDataset(args.sbd_dir, split="train", max_samples=args.nsamples)
+        n = 0
+        for img, _gt, _i in ds.eval_items():
+            x, _ = preprocess_for_eval(img, _gt, img_size)
+            yield jnp.asarray(x)
+            n += 1
+            if n >= args.nsamples:
+                return
+    else:
+        for img, _gt in synthetic_samples(args.nsamples, img_size, args.seed):
+            yield jnp.asarray(img)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+
+    from sam_quantization_tpu.models import build_sam, sam as sam_lib
+    from sam_quantization_tpu.models.configs import CONFIGS
+    from sam_quantization_tpu.quant import artifacts, gptq, sequential
+
+    cfg = CONFIGS[args.model]
+    model = build_sam.sam_model_registry[args.model](checkpoint=args.checkpoint)
+    ecfg = cfg.image_encoder
+    img_size = ecfg.img_size
+
+    t0 = time.time()
+    if args.method == "fq":
+        from sam_quantization_tpu.quant.fq.pipeline import (
+            FQConfig, calibrate_encoder, fq_quantize_weights,
+        )
+
+        fqcfg = FQConfig(
+            int_softmax=args.lis, int_norm=args.ptf, observer_a=args.quant_method
+        )
+        batches = [
+            sam_lib.preprocess(model, b)
+            for b in iter_calib_images(args, img_size)
+        ][: args.calib_iter]
+        qparams = calibrate_encoder(model.image_encoder, ecfg, fqcfg, batches)
+        enc = fq_quantize_weights(model.image_encoder, fqcfg)
+        quant_config = {
+            "method": "fq",
+            "ptf": args.ptf,
+            "lis": args.lis,
+            "quant_method": args.quant_method,
+        }
+        if args.save:
+            import numpy as np
+
+            artifacts.save_quantized(args.save, enc, quant_config)
+            np.savez(
+                f"{args.save}/fq_qparams.npz",
+                **{
+                    f"{k}.{i}": np.asarray(v)
+                    for k, (s, z) in qparams.items()
+                    for i, v in (("scale", s), ("zero", z))
+                },
+            )
+    else:
+        qcfg = gptq.GPTQConfig(
+            bits=args.wbits,
+            groupsize=args.groupsize,
+            sym=args.sym,
+            actorder=args.act_order,
+            percdamp=args.percdamp,
+        )
+        if args.method == "rtn" or args.nearest:
+            enc = sequential.rtn_quantize_encoder(model.image_encoder, qcfg)
+            losses = {}
+        else:
+            batches = [
+                sam_lib.preprocess(model, b) for b in iter_calib_images(args, img_size)
+            ]
+            enc, losses = sequential.gptq_quantize_encoder(
+                model.image_encoder, ecfg, batches, qcfg,
+                true_sequential=args.true_sequential, verbose=True,
+            )
+        quant_config = {
+            "method": "rtn" if (args.method == "rtn" or args.nearest) else "gptq",
+            "wbits": args.wbits,
+            "groupsize": args.groupsize,
+            "sym": args.sym,
+            "act_order": args.act_order,
+            "losses": {k: float(v) for k, v in losses.items()},
+        }
+        if args.save:
+            artifacts.save_quantized(args.save, enc, quant_config)
+    print(
+        json.dumps(
+            {
+                "status": "ok",
+                "method": quant_config["method"],
+                "elapsed_s": round(time.time() - t0, 2),
+                "save": args.save,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,88 @@
+"""Multi-chip sharding dry run + interactive evaluation harness tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sam_quantization_tpu.evaluation import click_eval, metrics
+from sam_quantization_tpu.evaluation.clicker import Clicker, next_random_click
+from sam_quantization_tpu.models import sam as sam_lib
+from sam_quantization_tpu.models.configs import VIT_TINY
+
+
+def test_dryrun_multichip_8dev():
+    import __graft_entry__ as ge
+
+    assert len(jax.devices()) >= 8
+    ge.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_odd():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(4)
+
+
+def test_clicker_places_clicks_in_error_regions():
+    gt = np.zeros((64, 64), np.int32)
+    gt[20:40, 20:40] = 1
+    pred = np.zeros_like(gt, dtype=bool)
+    c = Clicker(gt_mask=gt)
+    c.make_next_click(pred)
+    click = c.get_clicks()[0]
+    assert click.is_positive
+    y, x = click.coords
+    assert gt[y, x] == 1
+    # center-ish (distance transform max)
+    assert 25 <= y <= 34 and 25 <= x <= 34
+
+    pred2 = np.ones_like(gt, dtype=bool)
+    c.make_next_click(pred2)
+    click2 = c.get_clicks()[1]
+    assert not click2.is_positive
+    assert gt[click2.coords] == 0
+
+
+def test_random_click(rng):
+    gt = np.zeros((32, 32), np.int32)
+    gt[8:16, 8:16] = 1
+    (y, x), lab = next_random_click(np.zeros_like(gt, bool), gt, rng)
+    assert lab == 1 and gt[y, x] == 1
+    (y, x), lab = next_random_click(np.ones_like(gt, bool), gt, rng)
+    assert lab == 0 and gt[y, x] == 0
+
+
+def test_noc_metric():
+    ious = [np.array([0.5, 0.82, 0.9]), np.array([0.85, 0.91])]
+    noc, over = metrics.compute_noc_metric(ious, [0.80, 0.90], max_clicks=20)
+    assert noc[0] == (2 + 1) / 2
+    assert noc[1] == (3 + 2) / 2
+    assert over == [0, 0]
+
+
+def test_click_loop_eval_tiny_model(rng):
+    """Interactive loop improves IoU across clicks on a blob the tiny
+    (random-weight) model can't solve — just checks mechanics + shapes."""
+    model = sam_lib.init(jax.random.PRNGKey(0), VIT_TINY)
+    encode, decode = click_eval.make_sam_backend(model, attn_impl="xla")
+    size = VIT_TINY.image_encoder.img_size
+
+    def samples():
+        for _ in range(2):
+            img = rng.normal(size=(1, size, size, 3)).astype(np.float32)
+            gt = np.zeros((size, size), np.int32)
+            gt[30:90, 30:90] = 1
+            yield img, gt
+
+    res = click_eval.click_loop_eval(
+        encode, decode, samples(), num_clicks=3, img_size=size
+    )
+    assert len(res.mean_ious) == 3
+    assert all(0.0 <= v <= 1.0 for v in res.mean_ious)
+
+    noc, over, spc = click_eval.noc_eval(
+        encode, decode, samples(), max_clicks=3, img_size=size
+    )
+    assert len(noc) == 3
