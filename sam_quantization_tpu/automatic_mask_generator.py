@@ -20,6 +20,7 @@ import numpy as np
 
 from sam_quantization_tpu.models import sam as sam_lib
 from sam_quantization_tpu.predictor import SamPredictor
+from sam_quantization_tpu import native
 from sam_quantization_tpu.utils import amg as amg_utils
 
 
@@ -109,7 +110,7 @@ class SamAutomaticMaskGenerator:
         if len(crop_boxes) > 1:
             # Prefer masks from smaller crops (ref :173-179)
             scores = 1.0 / _box_area(np.asarray(data["crop_boxes"], np.float32))
-            keep = amg_utils.box_nms(
+            keep = native.box_nms(
                 data["boxes"].astype(np.float32), scores.astype(np.float32),
                 self.crop_nms_thresh,
             )
@@ -134,7 +135,7 @@ class SamAutomaticMaskGenerator:
             data.cat(batch_data)
         self.predictor.reset_image()
 
-        keep = amg_utils.box_nms(
+        keep = native.box_nms(
             data["boxes"].astype(np.float32),
             data["iou_preds"].astype(np.float32),
             self.box_nms_thresh,
@@ -195,7 +196,10 @@ class SamAutomaticMaskGenerator:
         if not keep.all():
             data.filter(keep)
         data["masks"] = amg_utils.uncrop_masks(data["masks"], crop_box, orig_h, orig_w)
-        data["rles"] = amg_utils.batched_mask_to_rle(data["masks"])
+        data["rles"] = [
+            {"size": [orig_h, orig_w], "counts": native.rle_encode(m)}
+            for m in data["masks"]
+        ]
         del data["masks"]
         return data
 
@@ -218,7 +222,7 @@ class SamAutomaticMaskGenerator:
             scores.append(float(unchanged))
         masks = np.stack(new_masks, axis=0)
         boxes = amg_utils.batched_mask_to_box(masks)
-        keep = amg_utils.box_nms(
+        keep = native.box_nms(
             boxes.astype(np.float32), np.asarray(scores, np.float32), nms_thresh
         )
         for i in keep:

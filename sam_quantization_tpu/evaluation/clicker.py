@@ -16,7 +16,8 @@ import dataclasses
 from typing import List, Optional, Tuple
 
 import numpy as np
-from scipy import ndimage
+
+from sam_quantization_tpu import native
 
 
 def next_random_click(
@@ -83,8 +84,8 @@ class Clicker:
         if padding:
             fn_mask = np.pad(fn_mask, 1, mode="constant")
             fp_mask = np.pad(fp_mask, 1, mode="constant")
-        fn_mask_dt = ndimage.distance_transform_edt(fn_mask)
-        fp_mask_dt = ndimage.distance_transform_edt(fp_mask)
+        fn_mask_dt = native.distance_transform_edt(fn_mask)
+        fp_mask_dt = native.distance_transform_edt(fp_mask)
         if padding:
             fn_mask_dt = fn_mask_dt[1:-1, 1:-1]
             fp_mask_dt = fp_mask_dt[1:-1, 1:-1]

@@ -1,0 +1,56 @@
+"""C++ runtime library vs numpy/scipy reference implementations."""
+
+import numpy as np
+import pytest
+
+from sam_quantization_tpu import native
+from sam_quantization_tpu.utils import amg
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    return lib
+
+
+def test_rle_roundtrip(lib, rng):
+    mask = rng.random((37, 53)) > 0.6
+    counts = native.rle_encode(mask)
+    ref = amg.mask_to_rle(mask)["counts"]
+    assert counts == ref
+    back = native.rle_decode(counts, 37, 53)
+    np.testing.assert_array_equal(back, mask)
+
+
+def test_nms_matches_numpy(lib, rng):
+    n = 200
+    boxes = rng.uniform(0, 100, size=(n, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(5, 40, size=(n, 2))
+    scores = rng.random(n).astype(np.float32)
+    keep_c = native.box_nms(boxes, scores, 0.5)
+    keep_np = amg.box_nms(boxes, scores, 0.5)
+    np.testing.assert_array_equal(np.sort(keep_c), np.sort(keep_np))
+
+
+def test_edt_matches_scipy(lib, rng):
+    from scipy import ndimage
+
+    mask = rng.random((64, 80)) > 0.3
+    got = native.distance_transform_edt(mask)
+    want = ndimage.distance_transform_edt(mask)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_pack_matches_jnp(lib, rng):
+    from sam_quantization_tpu.nn import packed
+
+    K, N, bits = 256, 128, 4
+    w = rng.integers(0, 16, size=(K, N)).astype(np.int32)
+    pb = packed.default_pack_block(K, bits)
+    got = native.pack_block_planar(w, bits, pb)
+    ref = packed.pack_int_weights(
+        w, np.ones((1, N), np.float32), np.zeros((1, N), np.float32), None, bits, 0
+    )
+    np.testing.assert_array_equal(got, np.asarray(ref.qweight))
