@@ -64,6 +64,9 @@ class PackedLinear:
     out_features: int = dataclasses.field(metadata=dict(static=True), default=0)
     groupsize: int = dataclasses.field(metadata=dict(static=True), default=0)
     pack_block: int = dataclasses.field(metadata=dict(static=True), default=128)
+    # 0 = weight-only (bf16 activations on the MXU); 8 = dynamic per-token
+    # int8 activation quantization feeding the int8 MXU path (2x bf16 peak).
+    act_bits: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def values_per_word(self) -> int:
@@ -189,3 +192,19 @@ def quantize_rtn(
     return pack_int_weights(
         q.reshape(K, N).astype(jnp.int32), scale, zero, bias, bits, g
     )
+
+
+def with_act_bits(tree, act_bits: int):
+    """Return a copy of a parameter pytree with ``act_bits`` set on every
+    PackedLinear node (0 = weight-only, 8 = W-low-bit/A-int8 MXU path)."""
+
+    def walk(node):
+        if isinstance(node, PackedLinear):
+            return dataclasses.replace(node, act_bits=act_bits)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(tree)

@@ -50,8 +50,28 @@ def quant_matmul(x: jax.Array, p: PackedLinear, *, backend: str | None = None) -
     if backend == "pallas" and not kernel_supported(x, p):
         backend = "xla"
     if backend == "xla":
+        if p.act_bits == 8:
+            return quant_matmul_a8_xla(x, p)
         return quant_matmul_xla(x, p)
+    if p.act_bits == 8:
+        return quant_matmul_a8_pallas(x, p)
     return quant_matmul_pallas(x, p)
+
+
+def quantize_activations_int8(x: jax.Array):
+    """Dynamic symmetric per-token int8 quantization: (xq int8, scale (M, 1))."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return xq, scale
+
+
+def quant_matmul_a8_xla(x: jax.Array, p: PackedLinear) -> jax.Array:
+    """W4A8 reference path: simulate the int8-activation kernel in XLA."""
+    xq, xs = quantize_activations_int8(x)
+    w = dequantize(p, jnp.float32)
+    y = jnp.dot(xq.astype(jnp.float32), w, preferred_element_type=jnp.float32)
+    return (y * xs).astype(x.dtype)
 
 
 def kernel_supported(x: jax.Array, p: PackedLinear) -> bool:
@@ -114,6 +134,125 @@ def _qmm_kernel(
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# W-low-bit / A-int8 kernel: integer dots on the int8 MXU (2x bf16 peak on
+# v5e). Per K-tile and scale group g:
+#     acc += s_g * (xq @ q_g - z_g * rowsum(xq_g))
+# and the per-token activation scale multiplies once at the end. This is the
+# path that actually beats bf16 in the compute-bound regime — the reference's
+# Triton kernel only saves weight bandwidth (quant_linear.py:122-352).
+# ---------------------------------------------------------------------------
+
+
+def _qmm_a8_kernel(
+    x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
+    *, bits, pack_block, groups_per_bk,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w_int = unpack_words(qw_ref[:], bits, pack_block)  # (BK, BN) int32
+    BK, BN = w_int.shape
+    gs = BK // groups_per_bk
+    xq = x_ref[:]  # (BM, BK) int8
+    scales = s_ref[0]  # (groups_per_bk, BN) f32
+    zeros = z_ref[0]
+    w8 = w_int.astype(jnp.int8)  # grid values < 256 fit
+    acc = acc_ref[:]
+    for g in range(groups_per_bk):
+        xg = xq[:, g * gs : (g + 1) * gs]
+        wg = w8[g * gs : (g + 1) * gs, :]
+        d = jax.lax.dot_general(
+            xg, wg,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        rs = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
+        acc = acc + (d - zeros[g][None, :] * rs) * scales[g][None, :]
+    acc_ref[:] = acc
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bits", "groupsize", "pack_block", "block_m", "block_n", "block_k", "interpret"
+    ),
+)
+def _qmm_a8_call(
+    xq, qweight, scales, zeros,
+    *, bits, groupsize, pack_block, block_m, block_n, block_k, interpret=False,
+):
+    M, K = xq.shape
+    N = qweight.shape[1]
+    per = 32 // bits
+    grid = (pl.cdiv(M, block_m), pl.cdiv(N, block_n), K // block_k)
+    groups_per_bk = max(block_k // groupsize, 1)
+    kernel = functools.partial(
+        _qmm_a8_kernel, bits=bits, pack_block=pack_block, groups_per_bk=groups_per_bk
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_k // per, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, scales.shape[1], block_n), lambda i, j, k: (k, 0, j)),
+            pl.BlockSpec((1, zeros.shape[1], block_n), lambda i, j, k: (k, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + (K // per) * N * 4 + M * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, qweight, scales, zeros)
+
+
+def quant_matmul_a8_pallas(x: jax.Array, p: PackedLinear) -> jax.Array:
+    M, K = x.shape
+    N = p.out_features
+    block_m, block_n, block_k = pick_blocks(M, N, K, p.groupsize, p.pack_block)
+    xq, xs = quantize_activations_int8(x)
+    Mp = _round_up(M, block_m)
+    if Mp != M:
+        xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
+    gpb = max(block_k // p.groupsize, 1)
+    num_k = K // block_k
+    scales, zeros = p.scales, p.zeros
+    if scales.shape[0] != num_k * gpb:
+        reps = num_k * gpb // scales.shape[0]
+        scales = jnp.repeat(scales, reps, axis=0)
+        zeros = jnp.repeat(zeros, reps, axis=0)
+    scales = scales.reshape(num_k, gpb, N)
+    zeros = zeros.reshape(num_k, gpb, N)
+    out = _qmm_a8_call(
+        xq, p.qweight, scales, zeros,
+        bits=p.bits,
+        groupsize=min(p.groupsize, block_k),
+        pack_block=p.pack_block,
+        block_m=block_m,
+        block_n=block_n,
+        block_k=block_k,
+        interpret=INTERPRET,
+    )
+    # per-token activation scale applied outside the kernel (XLA fuses it
+    # into the consumer)
+    return (out[:M] * xs).astype(x.dtype)
 
 
 @functools.partial(

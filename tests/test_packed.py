@@ -62,3 +62,33 @@ def test_quant_matmul_pallas_interpret(M, K, N, groupsize, bits, rng):
     finally:
         quant_matmul.INTERPRET = False
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("M,K,N,groupsize", [(64, 256, 128, 128), (100, 512, 256, 0)])
+def test_quant_matmul_a8(M, K, N, groupsize, rng):
+    """W4A8 path: pallas-interpret vs XLA simulation vs fp reference."""
+    import dataclasses
+
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.05
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    p = packed.quantize_rtn(jnp.asarray(w), bits=4, groupsize=groupsize)
+    p = dataclasses.replace(p, act_bits=8)
+    want = np.asarray(quant_matmul.quant_matmul_a8_xla(jnp.asarray(x), p))
+    quant_matmul.INTERPRET = True
+    try:
+        got = np.asarray(quant_matmul.quant_matmul_a8_pallas(jnp.asarray(x), p))
+    finally:
+        quant_matmul.INTERPRET = False
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+    # int8-activation error alone (vs the weight-only dequant matmul) is small
+    ref_w4 = np.asarray(quant_matmul.quant_matmul_xla(jnp.asarray(x), p))
+    rel = np.linalg.norm(got - ref_w4) / np.linalg.norm(ref_w4)
+    assert rel < 0.02, rel
+
+
+def test_with_act_bits_transform():
+    p = packed.quantize_rtn(jnp.ones((64, 128)), bits=4, groupsize=64)
+    tree = {"a": {"lin": p}, "b": jnp.zeros(3)}
+    out = packed.with_act_bits(tree, 8)
+    assert out["a"]["lin"].act_bits == 8
+    assert tree["a"]["lin"].act_bits == 0
