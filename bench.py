@@ -11,11 +11,19 @@ reference records no numbers of its own (BASELINE.md).
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: first bench run pays the (remote) compiles,
+# later runs start hot.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _throughput(fn, x, iters, warmup):

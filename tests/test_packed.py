@@ -92,3 +92,25 @@ def test_with_act_bits_transform():
     out = packed.with_act_bits(tree, 8)
     assert out["a"]["lin"].act_bits == 8
     assert tree["a"]["lin"].act_bits == 0
+
+
+def test_fused_mlp_interpret(rng):
+    from sam_quantization_tpu.ops import fused_mlp
+
+    K, H, M = 128, 512, 64
+    w1 = rng.normal(size=(K, H)).astype(np.float32) * 0.05
+    b1 = rng.normal(size=(H,)).astype(np.float32) * 0.01
+    w2 = rng.normal(size=(H, K)).astype(np.float32) * 0.05
+    b2 = rng.normal(size=(K,)).astype(np.float32) * 0.01
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    p1 = packed.quantize_rtn(jnp.asarray(w1), 4, 128, bias=jnp.asarray(b1))
+    p2 = packed.quantize_rtn(jnp.asarray(w2), 4, 128, bias=jnp.asarray(b2))
+
+    # XLA fallback reference
+    want = np.asarray(fused_mlp.fused_mlp(jnp.asarray(x), p1, p2))
+    quant_matmul.INTERPRET = True
+    try:
+        got = np.asarray(fused_mlp.fused_mlp(jnp.asarray(x), p1, p2))
+    finally:
+        quant_matmul.INTERPRET = False
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
