@@ -1,0 +1,125 @@
+"""Portable model export (StableHLO) — the ONNX-export counterpart.
+
+The reference exports (a) the prompt-encoder+decoder as a traceable ONNX
+module for browser/ORT decoding (segment_anything/utils/onnx.py:17-144,
+scripts/export_onnx_model.py:97-200) and (b) the image encoder for the PPQ /
+TensorRT pipelines (script/export_onnx.py:45-60).
+
+The TPU-native equivalent is ``jax.export``: serialize the jitted functions
+to StableHLO, loadable from any XLA runtime (C++, TF, IREE) without Python.
+:class:`SamDecoderModule` mirrors SamOnnxModel's surface — fixed-size point
+prompts, optional mask input, single-mask selection by IoU+stability score.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sam_quantization_tpu.models import sam as sam_lib
+
+
+@dataclasses.dataclass
+class SamDecoderModule:
+    """Traceable prompt→mask decoder (ref utils/onnx.py:17-144).
+
+    Inputs (fixed shapes): image_embeddings (1, h, w, 256), point_coords
+    (1, N, 2), point_labels (1, N), mask_input (1, 4h, 4w, 1), has_mask_input
+    (1,). Outputs: masks (1, k, 4h, 4w), iou_predictions (1, k), low_res.
+    """
+
+    model: sam_lib.Sam
+    return_single_mask: bool = True
+    use_stability_score: bool = False
+    stability_score_offset: float = 1.0
+
+    def __call__(
+        self,
+        image_embeddings: jax.Array,
+        point_coords: jax.Array,
+        point_labels: jax.Array,
+        mask_input: jax.Array,
+        has_mask_input: jax.Array,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        low_res, iou_pred = sam_lib.decode_masks(
+            self.model,
+            image_embeddings,
+            points=(point_coords, point_labels),
+            mask_inputs=mask_input,
+            mask_valid=has_mask_input > 0.5,
+            multimask_output=True,
+        )
+        scores = iou_pred
+        if self.use_stability_score:
+            # stability score as selection criterion (onnx.py:94-100)
+            hi = (low_res > self.stability_score_offset).sum(axis=(-2, -1))
+            lo = (low_res > -self.stability_score_offset).sum(axis=(-2, -1))
+            scores = hi / jnp.maximum(lo, 1)
+        if self.return_single_mask:
+            best = jnp.argmax(scores, axis=-1)
+            take = jax.vmap(lambda m, i: m[i])(low_res, best)[:, None]
+            iou_out = jax.vmap(lambda s, i: s[i])(iou_pred, best)[:, None]
+        else:
+            take, iou_out = low_res, iou_pred
+        size = self.model.config.image_encoder.img_size
+        B, K = take.shape[:2]
+        masks = jax.image.resize(take, (B, K, size, size), method="bilinear")
+        return masks, iou_out, take
+
+
+def export_decoder(
+    model: sam_lib.Sam,
+    path: str,
+    num_points: int = 8,
+    return_single_mask: bool = True,
+) -> bytes:
+    """Serialize the decoder to StableHLO bytes (and write to ``path``)."""
+    from jax import export as jexport
+
+    module = SamDecoderModule(model, return_single_mask=return_single_mask)
+    h, w = model.config.prompt_encoder.image_embedding_size
+    d = model.config.prompt_encoder.embed_dim
+
+    args = (
+        jax.ShapeDtypeStruct((1, h, w, d), jnp.float32),
+        jax.ShapeDtypeStruct((1, num_points, 2), jnp.float32),
+        jax.ShapeDtypeStruct((1, num_points), jnp.float32),
+        jax.ShapeDtypeStruct((1, 4 * h, 4 * w, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1,), jnp.float32),
+    )
+    exported = jexport.export(jax.jit(module.__call__))(*args)
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return blob
+
+
+def export_encoder(model: sam_lib.Sam, path: str) -> bytes:
+    """Serialize the (possibly quantized) image encoder to StableHLO
+    (counterpart of the ONNX encoder export feeding PPQ/TRT,
+    script/export_onnx.py:45-60)."""
+    from jax import export as jexport
+
+    size = model.config.image_encoder.img_size
+
+    def encode(x):
+        return sam_lib.encode_image(model, x, attn_impl="xla")
+
+    args = (jax.ShapeDtypeStruct((1, size, size, 3), jnp.float32),)
+    exported = jexport.export(jax.jit(encode))(*args)
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return blob
+
+
+def load_exported(path: str):
+    """Deserialize and return a callable (counterpart of ORT session load)."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    return exported.call

@@ -338,9 +338,58 @@ def apply(
     cfg: ImageEncoderConfig,
     ctx=NULL_CTX,
     attn_impl: str = "auto",
+    scan_blocks: str = "auto",
 ) -> jax.Array:
-    """Full encoder: (B, H, W, 3) image → (B, h, w, out_chans) embedding."""
+    """Full encoder: (B, H, W, 3) image → (B, h, w, out_chans) embedding.
+
+    ``scan_blocks``: "auto" | "on" | "off". When the depth decomposes into
+    identical (windowed×k, global) super-blocks — true for ViT-B/L/H — the
+    block stack runs as a ``lax.scan`` over stacked parameters, shrinking the
+    traced program by the super-block count (compile time and HLO size drop
+    ~4×). Only for hook-free contexts (the FQ ctx needs per-block paths).
+    """
     x = embed(p, x, cfg, ctx)
-    for i in range(cfg.depth):
-        x = block_apply(p["blocks"][i], x, cfg, i, ctx, attn_impl=attn_impl)
+    period = _superblock_period(cfg)
+    use_scan = scan_blocks == "on" or (
+        scan_blocks == "auto"
+        and period is not None
+        and type(ctx) is type(NULL_CTX)
+        and cfg.depth // period >= 2
+    )
+    if use_scan:
+        x = _apply_blocks_scanned(p, x, cfg, period, attn_impl)
+    else:
+        for i in range(cfg.depth):
+            x = block_apply(p["blocks"][i], x, cfg, i, ctx, attn_impl=attn_impl)
     return neck(p, x, cfg, ctx)
+
+
+def _superblock_period(cfg: ImageEncoderConfig):
+    """Period p such that blocks [i*p .. (i+1)*p) have identical window
+    structure across i (global exactly at the last slot), else None."""
+    g = sorted(cfg.global_attn_indexes)
+    if not g or cfg.depth % len(g) != 0:
+        return None
+    period = cfg.depth // len(g)
+    if all(gi == (k + 1) * period - 1 for k, gi in enumerate(g)):
+        return period
+    return None
+
+
+def _apply_blocks_scanned(p, x, cfg, period, attn_impl):
+    n_super = cfg.depth // period
+    # Stack parameters across super-blocks, per slot-in-super-block.
+    stacked = []
+    for j in range(period):
+        slot_params = [p["blocks"][i * period + j] for i in range(n_super)]
+        stacked.append(
+            jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *slot_params)
+        )
+
+    def step(x, slot_trees):
+        for j in range(period):
+            x = block_apply(slot_trees[j], x, cfg, j, NULL_CTX, attn_impl=attn_impl)
+        return x, None
+
+    x, _ = jax.lax.scan(step, x, tuple(stacked))
+    return x

@@ -114,3 +114,31 @@ def test_fq_observer_variants(rng):
         fqcfg = FQConfig(observer_a=obs, int_norm=True, int_softmax=True)
         qp = calibrate_encoder(params, ECFG, fqcfg, batches)
         assert all(np.isfinite(np.asarray(s)).all() for s, _ in qp.values())
+
+
+def test_scanned_blocks_match_loop(rng):
+    """lax.scan super-block path == per-block loop (FP and packed)."""
+    from sam_quantization_tpu.models.configs import ImageEncoderConfig
+
+    cfg = ImageEncoderConfig(
+        img_size=64, patch_size=16, embed_dim=32, depth=4, num_heads=2,
+        global_attn_indexes=(1, 3), window_size=3, out_chans=16,
+    )
+    import sam_quantization_tpu.models.image_encoder as ie
+
+    assert ie._superblock_period(cfg) == 2
+    params = ie.init(jax.random.PRNGKey(1), cfg)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    out_loop = ie.apply(params, x, cfg, attn_impl="xla", scan_blocks="off")
+    out_scan = ie.apply(params, x, cfg, attn_impl="xla", scan_blocks="on")
+    np.testing.assert_allclose(
+        np.asarray(out_scan), np.asarray(out_loop), rtol=2e-5, atol=2e-5
+    )
+
+    qcfg = gptq.GPTQConfig(bits=8, groupsize=16)
+    qp = sequential.rtn_quantize_encoder(params, qcfg)
+    out_loop_q = ie.apply(qp, x, cfg, attn_impl="xla", scan_blocks="off")
+    out_scan_q = ie.apply(qp, x, cfg, attn_impl="xla", scan_blocks="on")
+    np.testing.assert_allclose(
+        np.asarray(out_scan_q), np.asarray(out_loop_q), rtol=2e-5, atol=2e-5
+    )
