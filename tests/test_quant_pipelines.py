@@ -142,3 +142,26 @@ def test_scanned_blocks_match_loop(rng):
     np.testing.assert_allclose(
         np.asarray(out_scan_q), np.asarray(out_loop_q), rtol=2e-5, atol=2e-5
     )
+
+
+def test_vit_classifier_fq(rng):
+    """DeiT-style classifier runs through the full FQ pipeline."""
+    from sam_quantization_tpu.models import vit_classifier as vc
+    from sam_quantization_tpu.quant.fq.pipeline import FQConfig, FQCtx, fq_quantize_weights
+
+    cfg = vc.ViTClassifierConfig(
+        img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=2,
+        num_classes=10, distilled=True,
+    )
+    params = vc.init(jax.random.PRNGKey(0), cfg)
+    batches = [
+        jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        for _ in range(2)
+    ]
+    fp = np.asarray(vc.apply(params, batches[0], cfg))
+    assert fp.shape == (2, 10)
+    fqcfg = FQConfig()
+    qp = vc.calibrate_classifier(params, cfg, fqcfg, batches)
+    wq = fq_quantize_weights(params, fqcfg)
+    out = np.asarray(vc.apply(wq, batches[0], cfg, FQCtx("quant", fqcfg, qparams=qp)))
+    assert np.isfinite(out).all()
