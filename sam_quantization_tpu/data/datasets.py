@@ -162,6 +162,54 @@ class ImageMaskDataset(ISDataset):
         return DSample(image, inst, objects_ids=[1], sample_id=index)
 
 
+class SA1BDataset(ISDataset):
+    """SA-1B-style dataset: image folder + per-image json with COCO
+    *uncompressed* RLE annotations (ref utils/datautils.py:76-129
+    SA1B_Dataset; we read the json sidecars directly instead of wrapping
+    torchvision.ImageFolder)."""
+
+    def __init__(self, dataset_path: str, max_masks_per_image: int = 16, **kw):
+        super().__init__(**kw)
+        import glob
+
+        self.root = Path(dataset_path)
+        self._images = sorted(
+            p for p in glob.glob(str(self.root / "**" / "*.jpg"), recursive=True)
+        )
+        self.dataset_samples = [Path(p).stem for p in self._images]
+        self.max_masks = max_masks_per_image
+
+    def get_sample(self, index: int) -> DSample:
+        import json
+
+        img_path = self._images[index]
+        image = _imread(img_path)
+        ann_path = str(Path(img_path).with_suffix(".json"))
+        with open(ann_path) as f:
+            anns = json.load(f)["annotations"]
+        inst = np.zeros(image.shape[:2], np.int32)
+        from sam_quantization_tpu import native
+
+        for i, ann in enumerate(anns[: self.max_masks]):
+            rle = ann["segmentation"]
+            m = native.rle_decode(rle["counts"], rle["size"][0], rle["size"][1])
+            inst[m] = i + 1
+        ids, _ = get_labels_with_sizes(inst)
+        return DSample(image, inst, objects_ids=ids, sample_id=index)
+
+    def bbox_prompts(self, index: int):
+        """(image, boxes xyxy, masks) for box-prompt fine-tuning (ref
+        SAMDataset.__getitem__, utils/datautils.py:33-75)."""
+        s = self.get_sample(index)
+        boxes, masks = [], []
+        for obj_id in s.objects_ids:
+            m = s.object_mask(obj_id)
+            rmin, rmax, cmin, cmax = get_bbox_from_mask(m)
+            boxes.append([cmin, rmin, cmax, rmax])
+            masks.append(m)
+        return s.image, np.asarray(boxes, np.float32), np.asarray(masks)
+
+
 def shard_indices(n: int, num_shards: int, shard: int, seed: int = 0, shuffle=True):
     """Per-host index shard (DistributedSampler counterpart,
     utils/distributed.py:50-57): pad to a multiple and stride."""

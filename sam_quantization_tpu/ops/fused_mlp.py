@@ -38,8 +38,9 @@ def _fused_mlp_kernel(
     w1 = _dequant_tile(qw1_ref[:], s1_ref[0], z1_ref[0], bits, pack_block, x_ref.dtype)
     a = jnp.dot(x_ref[:], w1, preferred_element_type=jnp.float32)
     a = a + b1_ref[0][None, :]
-    # exact erf GELU (jax.nn.gelu's erfc form doesn't lower in Mosaic)
-    a = (0.5 * a * (1.0 + jax.lax.erf(a * 0.7071067811865476))).astype(x_ref.dtype)
+    # tanh-approx GELU: Mosaic lowers neither erf nor erfc; the approximation
+    # error (<3e-3 abs) is far below the INT4 weight-quantization noise
+    a = jax.nn.gelu(a, approximate=True).astype(x_ref.dtype)
     w2 = _dequant_tile(qw2_ref[:], s2_ref[0], z2_ref[0], bits, pack_block, x_ref.dtype)
     acc_ref[:] += jnp.dot(a, w2, preferred_element_type=jnp.float32)
 

@@ -96,6 +96,58 @@ def graphwise_error_analyse(
     return {k: sum(v) / len(v) for k, v in acc.items()}
 
 
+def layerwise_error_analyse(
+    fp_params,
+    q_params,
+    ecfg: ImageEncoderConfig,
+    batches: Iterable[jax.Array],
+) -> Dict[str, float]:
+    """Isolated per-layer SNR: every linear gets *FP inputs* and only its own
+    weights quantized (PPQ ``layerwise_error_analyse`` semantics — the
+    commented usage at script/analysis.py:588-593). Implemented by running
+    the FP model while computing each quantized layer's output on the FP
+    layer's input."""
+    from sam_quantization_tpu.nn.packed import PackedLinear
+
+    class LayerwiseCtx(OutputCaptureCtx):
+        def __init__(self, q_tree):
+            super().__init__()
+            self.q_tree = q_tree
+            self.snrs: Dict[str, jax.Array] = {}
+
+        def linear(self, path, p, x):
+            y = F.linear(p, x)
+            qp = _lookup(self.q_tree, path)
+            if qp is not None and (isinstance(qp, PackedLinear) or qp is not p):
+                yq = F.linear(qp, x)
+                self.snrs[path] = snr_db(y, yq)
+            return y
+
+    @jax.jit
+    def run(x):
+        ctx = LayerwiseCtx(q_params)
+        image_encoder.apply(fp_params, x, ecfg, ctx, attn_impl="xla")
+        return ctx.snrs
+
+    acc: Dict[str, List[float]] = {}
+    for x in batches:
+        for k, v in run(x).items():
+            acc.setdefault(k, []).append(float(v))
+    return {k: sum(v) / len(v) for k, v in acc.items()}
+
+
+def _lookup(tree, path: str):
+    node = tree
+    for part in path.split("."):
+        if isinstance(node, list):
+            node = node[int(part)]
+        elif isinstance(node, dict) and part in node:
+            node = node[part]
+        else:
+            return None
+    return node
+
+
 def format_report(snrs: Dict[str, float], worst_k: int = 10) -> str:
     items = sorted(snrs.items(), key=lambda kv: kv[1])
     lines = ["op-wise SNR report (worst first):"]
