@@ -32,10 +32,13 @@ def init_mlp(key, in_dim, hidden, out_dim, num_layers) -> dict:
     }
 
 
-def mlp_apply(p, x, sigmoid_output=False):
+def mlp_apply(p, x, sigmoid_output=False, ctx=None, path=""):
     n = len(p["layers"])
     for i, layer in enumerate(p["layers"]):
-        x = F.linear(layer, x)
+        if ctx is not None:
+            x = ctx.linear(f"{path}.layers.{i}", layer, x)
+        else:
+            x = F.linear(layer, x)
         if i < n - 1:
             x = jax.nn.relu(x)
     if sigmoid_output:
@@ -101,15 +104,19 @@ def predict_masks(
 
     src = src.reshape(B, h, w, c)
     up = p["output_upscaling"]
-    x = F.conv_transpose2d(up["convt1"], src, stride=2)
+    x = ctx.conv_transpose2d("mask_decoder.convt1", up["convt1"], src, stride=2)
     x = F.layer_norm_2d(up["ln"], x, cfg.ln_eps)
     x = F.gelu(x)
-    x = F.conv_transpose2d(up["convt2"], x, stride=2)
-    upscaled = F.gelu(x)  # (B, 4h, 4w, d//8)
+    x = ctx.act("mask_decoder.qact_up1", x)
+    x = ctx.conv_transpose2d("mask_decoder.convt2", up["convt2"], x, stride=2)
+    upscaled = ctx.act("mask_decoder.qact_up2", F.gelu(x))  # (B, 4h, 4w, d//8)
 
     hyper_in = jnp.stack(
         [
-            mlp_apply(p["hypernetworks"][i], mask_tokens_out[:, i, :])
+            mlp_apply(
+                p["hypernetworks"][i], mask_tokens_out[:, i, :],
+                ctx=ctx, path=f"mask_decoder.hyper.{i}",
+            )
             for i in range(cfg.num_mask_tokens)
         ],
         axis=1,
@@ -117,7 +124,7 @@ def predict_masks(
     masks = jnp.einsum(
         "bnc,bhwc->bnhw", hyper_in, upscaled, preferred_element_type=jnp.float32
     ).astype(upscaled.dtype)
-    iou_pred = mlp_apply(p["iou_head"], iou_token_out)
+    iou_pred = mlp_apply(p["iou_head"], iou_token_out, ctx=ctx, path="mask_decoder.iou_head")
     return masks, iou_pred
 
 

@@ -165,3 +165,36 @@ def test_vit_classifier_fq(rng):
     wq = fq_quantize_weights(params, fqcfg)
     out = np.asarray(vc.apply(wq, batches[0], cfg, FQCtx("quant", fqcfg, qparams=qp)))
     assert np.isfinite(out).all()
+
+
+def test_fq_full_sam_calibration(rng):
+    """1-click full-SAM calibration (reference calibrate_forward pattern)
+    then quantized decode with decoder-side fake-quant."""
+    from sam_quantization_tpu.models import sam as sam_lib
+    from sam_quantization_tpu.models.configs import VIT_TINY
+    from sam_quantization_tpu.quant.fq.pipeline import (
+        FQConfig, calibrate_sam, quantize_sam,
+    )
+
+    model = sam_lib.init(jax.random.PRNGKey(0), VIT_TINY)
+    size = VIT_TINY.image_encoder.img_size
+    samples = []
+    for _ in range(2):
+        img = rng.normal(size=(1, size, size, 3)).astype(np.float32) * 30 + 100
+        gt = np.zeros((size, size), np.int32)
+        gt[40:90, 30:80] = 1
+        samples.append((img, gt))
+    fqcfg = FQConfig()
+    qp = calibrate_sam(model, samples, fqcfg)
+    # decoder-side observation points collected
+    assert any(k.startswith("mask_decoder.") for k in qp)
+    assert any("transformer" in k for k in qp)
+    qmodel, make_ctx = quantize_sam(model, fqcfg, qp)
+    ctx = make_ctx()
+    emb = sam_lib.encode_image(qmodel, sam_lib.preprocess(qmodel, jnp.asarray(samples[0][0])), ctx, attn_impl="xla")
+    coords = jnp.zeros((1, 4, 2), jnp.float32).at[0, 0].set(jnp.array([50.0, 60.0]))
+    labels = -jnp.ones((1, 4), jnp.float32).at[0, 0].set(1.0)
+    low, iou = sam_lib.decode_masks(qmodel, emb, points=(coords, labels),
+                                    multimask_output=False, ctx=ctx)
+    assert np.isfinite(np.asarray(low)).all()
+    assert np.isfinite(np.asarray(iou)).all()
