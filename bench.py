@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--bits", type=int, default=4)
     ap.add_argument("--groupsize", type=int, default=128)
+    ap.add_argument("--a8", action="store_true",
+                    help="W-sym + dynamic int8 activations on the int8 MXU")
     args = ap.parse_args()
 
     from sam_quantization_tpu.models import image_encoder
@@ -67,16 +69,21 @@ def main():
     fp_ips = _throughput(fp_fn, x, args.iters, args.warmup)
     print(f"[bench] bf16: {fp_ips:.3f} img/s", file=sys.stderr, flush=True)
 
-    qcfg = gptq.GPTQConfig(bits=args.bits, groupsize=args.groupsize)
+    qcfg = gptq.GPTQConfig(bits=args.bits, groupsize=args.groupsize, sym=args.a8)
     qparams = sequential.rtn_quantize_encoder(params, qcfg)
+    if args.a8:
+        from sam_quantization_tpu.nn.packed import with_act_bits
+
+        qparams = with_act_bits(qparams, 8)
     q_fn = jax.jit(lambda x: image_encoder.apply(qparams, x, ecfg))
     q_ips = _throughput(q_fn, x, args.iters, args.warmup)
-    print(f"[bench] int{args.bits}: {q_ips:.3f} img/s", file=sys.stderr, flush=True)
+    tag = f"int{args.bits}" + ("_a8" if args.a8 else "")
+    print(f"[bench] {tag}: {q_ips:.3f} img/s", file=sys.stderr, flush=True)
 
     print(
         json.dumps(
             {
-                "metric": f"sam_{args.model}_encoder_int{args.bits}_throughput",
+                "metric": f"sam_{args.model}_encoder_{tag}_throughput",
                 "value": round(q_ips, 4),
                 "unit": "images/s/chip",
                 "vs_baseline": round(q_ips / fp_ips, 4),

@@ -67,6 +67,10 @@ class PackedLinear:
     # 0 = weight-only (bf16 activations on the MXU); 8 = dynamic per-token
     # int8 activation quantization feeding the int8 MXU path (2x bf16 peak).
     act_bits: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # True when the integer grid is symmetric with the mid-point zero
+    # ((maxq+1)/2 for every group): enables the pure-integer W-A8 fast path
+    # (single int8 dot per K-tile, int32 accumulation, no zero correction).
+    sym: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
     def values_per_word(self) -> int:
@@ -84,6 +88,7 @@ def pack_int_weights(
     bias: Optional[jax.Array],
     bits: int,
     groupsize: int = 0,
+    sym: bool = False,
 ) -> PackedLinear:
     """Pack integer grid weights (K, N), values in [0, 2^bits - 1].
 
@@ -121,6 +126,7 @@ def pack_int_weights(
         out_features=N,
         groupsize=g,
         pack_block=pb,
+        sym=sym,
     )
 
 
@@ -190,7 +196,7 @@ def quantize_rtn(
         zero = jnp.round(-wmin / scale)
     q = jnp.clip(jnp.round(wg / scale[:, None, :]) + zero[:, None, :], 0, maxq)
     return pack_int_weights(
-        q.reshape(K, N).astype(jnp.int32), scale, zero, bias, bits, g
+        q.reshape(K, N).astype(jnp.int32), scale, zero, bias, bits, g, sym=sym
     )
 
 

@@ -103,7 +103,8 @@ def quantize_linear_gptq(
         out: PackedLinear | dict = {"w": wq} if bias is None else {"w": wq, "b": bias}
     else:
         out = pack_int_weights(
-            res.q_int.T, res.scales.T, res.zeros.T, bias, qcfg.bits, qcfg.groupsize
+            res.q_int.T, res.scales.T, res.zeros.T, bias, qcfg.bits, qcfg.groupsize,
+            sym=qcfg.sym,
         )
     return out, loss
 

@@ -114,3 +114,23 @@ def test_fused_mlp_interpret(rng):
     finally:
         quant_matmul.INTERPRET = False
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("groupsize", [0, 128])
+def test_quant_matmul_a8_sym(groupsize, rng):
+    """Symmetric pure-integer fast path vs XLA simulation."""
+    import dataclasses
+
+    K, N, M = 256, 256, 64
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.05
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    p = packed.quantize_rtn(jnp.asarray(w), bits=4, groupsize=groupsize, sym=True)
+    assert p.sym
+    p = dataclasses.replace(p, act_bits=8)
+    want = np.asarray(quant_matmul.quant_matmul_a8_xla(jnp.asarray(x), p))
+    quant_matmul.INTERPRET = True
+    try:
+        got = np.asarray(quant_matmul.quant_matmul_a8_pallas(jnp.asarray(x), p))
+    finally:
+        quant_matmul.INTERPRET = False
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
