@@ -226,6 +226,82 @@ class InputBRSPredictor(SamEvalPredictor):
         return prob
 
 
+class FeatureBRSPredictor(SamEvalPredictor):
+    """f-BRS: optimize per-channel scale+bias on the cached image embedding
+    so the decoded mask agrees with every click (counterpart of the
+    reference's FeatureBRSPredictor, inference/predictors/brs.py f-BRS-B
+    mode — auxiliary variables on backbone features)."""
+
+    def __init__(self, predictor, opt_steps: int = 15, reg_weight: float = 1e-3,
+                 lr: float = 0.05, **kw):
+        super().__init__(predictor, **kw)
+        self.opt_steps = opt_steps
+        self.reg_weight = reg_weight
+        self.lr = lr
+
+    def get_prediction(self, clicker, prev_mask=None) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        from sam_quantization_tpu.models import sam as sam_lib
+        from sam_quantization_tpu.predictor import MAX_POINTS
+
+        clicks = clicker.get_clicks()
+        pred = self.predictor
+        coords = np.zeros((1, MAX_POINTS, 2), np.float32)
+        labels = -np.ones((1, MAX_POINTS), np.float32)
+        click_px = []
+        for i, c in enumerate(clicks[:MAX_POINTS]):
+            pc = pred.transform.apply_coords(
+                np.array([[c.coords[1], c.coords[0]]], np.float32), pred.original_size
+            )[0]
+            coords[0, i] = pc
+            labels[0, i] = 1.0 if c.is_positive else 0.0
+            click_px.append((pc[1] / 4.0, pc[0] / 4.0, labels[0, i]))
+        click_px = np.asarray(click_px, np.float32)
+
+        model, features = pred.model, pred.features
+        C = features.shape[-1]
+        cj, lj = jnp.asarray(coords), jnp.asarray(labels)
+        clicks_j = jnp.asarray(click_px)
+
+        def decode_with(aux):
+            scale, bias = aux
+            feats = features * (1.0 + scale.reshape(1, 1, 1, C)) + bias.reshape(
+                1, 1, 1, C
+            )
+            low, _ = sam_lib.decode_masks(
+                model, feats, points=(cj, lj), multimask_output=False
+            )
+            return low
+
+        def loss_fn(aux):
+            low = decode_with(aux)[0, 0]
+            ys = jnp.clip(clicks_j[:, 0].astype(jnp.int32), 0, low.shape[0] - 1)
+            xs = jnp.clip(clicks_j[:, 1].astype(jnp.int32), 0, low.shape[1] - 1)
+            vals = low[ys, xs]
+            want_pos = clicks_j[:, 2] > 0.5
+            viol = jnp.where(want_pos, jnp.maximum(0.0, -vals), jnp.maximum(0.0, vals))
+            scale, bias = aux
+            reg = self.reg_weight * (jnp.sum(scale**2) + jnp.sum(bias**2))
+            return jnp.sum(viol**2) + reg
+
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+        aux = (jnp.zeros((C,), jnp.float32), jnp.zeros((C,), jnp.float32))
+        for _ in range(self.opt_steps):
+            val, g = grad_fn(aux)
+            if float(val) <= 1e-6:
+                break
+            aux = tuple(a - self.lr * gi for a, gi in zip(aux, g))
+        low_res = decode_with(aux)
+        masks = sam_lib.postprocess_masks(
+            model, low_res, pred.input_size, pred.original_size
+        )
+        prob = _sigmoid(np.asarray(masks[0, 0]))
+        self.prev_prediction = prob
+        return prob
+
+
 def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-np.clip(x, -30, 30)))
 

@@ -1,0 +1,65 @@
+"""TTA / BRS predictor tests on the tiny model."""
+
+import numpy as np
+import jax
+
+from sam_quantization_tpu.evaluation.clicker import Clicker
+from sam_quantization_tpu.evaluation.predictors import (
+    FeatureBRSPredictor, InputBRSPredictor, SamEvalPredictor, ZoomIn,
+)
+from sam_quantization_tpu.models import sam as sam_lib
+from sam_quantization_tpu.models.configs import VIT_TINY
+from sam_quantization_tpu.predictor import SamPredictor
+
+
+def _scene(rng, size):
+    img = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+    gt = np.zeros((size, size), np.int32)
+    gt[40:90, 30:80] = 1
+    return img, gt
+
+
+def _run(pred_cls, rng, **kw):
+    model = sam_lib.init(jax.random.PRNGKey(0), VIT_TINY)
+    base = SamPredictor(model, attn_impl="xla")
+    p = pred_cls(base, **kw)
+    size = VIT_TINY.image_encoder.img_size
+    img, gt = _scene(rng, size)
+    p.set_input_image(img)
+    clicker = Clicker(gt_mask=gt)
+    clicker.make_next_click(np.zeros_like(gt, bool))
+    prob = p.get_prediction(clicker)
+    assert prob.shape == (size, size)
+    assert np.isfinite(prob).all()
+    assert (prob >= 0).all() and (prob <= 1).all()
+    return prob
+
+
+def test_eval_predictor_plain(rng):
+    _run(SamEvalPredictor, rng)
+
+
+def test_eval_predictor_flip(rng):
+    _run(SamEvalPredictor, rng, with_flip=True)
+
+
+def test_eval_predictor_zoom(rng):
+    model = sam_lib.init(jax.random.PRNGKey(0), VIT_TINY)
+    base = SamPredictor(model, attn_impl="xla")
+    size = VIT_TINY.image_encoder.img_size
+    p = SamEvalPredictor(base, zoom_in=ZoomIn(skip_clicks=0))
+    img, gt = _scene(rng, size)
+    p.set_input_image(img)
+    clicker = Clicker(gt_mask=gt)
+    clicker.make_next_click(np.zeros_like(gt, bool))
+    clicker.make_next_click(np.zeros_like(gt, bool))
+    prob = p.get_prediction(clicker)
+    assert np.isfinite(prob).all()
+
+
+def test_input_brs(rng):
+    _run(InputBRSPredictor, rng, opt_steps=2)
+
+
+def test_feature_brs(rng):
+    _run(FeatureBRSPredictor, rng, opt_steps=2)
