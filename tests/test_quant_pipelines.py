@@ -198,3 +198,33 @@ def test_fq_full_sam_calibration(rng):
                                     multimask_output=False, ctx=ctx)
     assert np.isfinite(np.asarray(low)).all()
     assert np.isfinite(np.asarray(iou)).all()
+
+
+def test_swin_classifier_fq(rng):
+    from sam_quantization_tpu.models import swin_classifier as sw
+    from sam_quantization_tpu.quant.fq.pipeline import FQConfig, FQCtx, fq_quantize_weights
+
+    cfg = sw.SwinConfig(
+        img_size=32, patch_size=4, embed_dim=16, depths=(1, 1), num_heads=(2, 4),
+        window_size=4, num_classes=10,
+    )
+    params = sw.init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    fp = np.asarray(sw.apply(params, x, cfg))
+    assert fp.shape == (2, 10)
+    assert np.isfinite(fp).all()
+
+    fqcfg = FQConfig()
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("mode",))
+    def step(params, x, state, mode):
+        ctx = FQCtx(mode, fqcfg, state)
+        sw.apply(params, x, cfg, ctx)
+        return {**state, **ctx.updates}, ctx.new_qparams
+
+    state, qp = step(params, x, {}, "calib")
+    state, qp = step(params, x, state, "last_calib")
+    wq = fq_quantize_weights(params, fqcfg)
+    out = np.asarray(sw.apply(wq, x, cfg, FQCtx("quant", fqcfg, qparams=qp)))
+    assert np.isfinite(out).all()
