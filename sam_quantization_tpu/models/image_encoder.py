@@ -377,19 +377,33 @@ def _superblock_period(cfg: ImageEncoderConfig):
 
 
 def _apply_blocks_scanned(p, x, cfg, period, attn_impl):
+    """Two-level scan: outer over super-blocks, inner over the (identical)
+    windowed slots — the traced body is ONE windowed + ONE global block
+    regardless of depth (ViT-H: 32 blocks → 2-block HLO)."""
     n_super = cfg.depth // period
-    # Stack parameters across super-blocks, per slot-in-super-block.
-    stacked = []
-    for j in range(period):
-        slot_params = [p["blocks"][i * period + j] for i in range(n_super)]
-        stacked.append(
-            jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *slot_params)
-        )
 
-    def step(x, slot_trees):
-        for j in range(period):
-            x = block_apply(slot_trees[j], x, cfg, j, NULL_CTX, attn_impl=attn_impl)
+    def stack(trees):
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+    # (n_super, period-1, ...) windowed params; (n_super, ...) global params.
+    windowed = stack(
+        [
+            stack([p["blocks"][i * period + j] for j in range(period - 1)])
+            for i in range(n_super)
+        ]
+    )
+    global_blocks = stack([p["blocks"][(i + 1) * period - 1] for i in range(n_super)])
+
+    def super_step(x, trees):
+        win_tree, glob_tree = trees
+
+        def win_step(x, blk):
+            x = block_apply(blk, x, cfg, 0, NULL_CTX, attn_impl=attn_impl)
+            return x, None
+
+        x, _ = jax.lax.scan(win_step, x, win_tree)
+        x = block_apply(glob_tree, x, cfg, period - 1, NULL_CTX, attn_impl=attn_impl)
         return x, None
 
-    x, _ = jax.lax.scan(step, x, tuple(stacked))
+    x, _ = jax.lax.scan(super_step, x, (windowed, global_blocks))
     return x
