@@ -62,6 +62,27 @@ def setup_logger(log_dir: Optional[str] = None, rank: int = 0) -> logging.Logger
     return logger
 
 
+class TqdmToLogger:
+    """File-like adapter routing tqdm output into a logger
+    (ref utils/log.py:19-42)."""
+
+    def __init__(self, logger: logging.Logger, level=logging.INFO, mininterval=5.0):
+        self.logger = logger
+        self.level = level
+        self.mininterval = mininterval
+        self._last = 0.0
+        self._buf = ""
+
+    def write(self, buf):
+        self._buf = buf.strip("\r\n\t ")
+
+    def flush(self):
+        now = time.time()
+        if self._buf and now - self._last >= self.mininterval:
+            self.logger.log(self.level, self._buf)
+            self._last = now
+
+
 class ScalarWriterAvg:
     """Period-averaged scalar writer → JSONL (+TensorBoard if available).
 
