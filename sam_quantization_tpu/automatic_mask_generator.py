@@ -42,7 +42,12 @@ class SamAutomaticMaskGenerator:
         min_mask_region_area: int = 0,
         output_mode: str = "binary_mask",
         attn_impl: str = "auto",
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh — the per-batch 64-prompt
+        decode shards over its "dp" axis (the single-host slice of
+        SURVEY §7's multi-host AMG batching; images themselves stream through
+        parallel/serving.py across hosts)."""
         assert (points_per_side is None) != (point_grids is None), (
             "Exactly one of points_per_side or point_grids must be provided."
         )
@@ -64,6 +69,11 @@ class SamAutomaticMaskGenerator:
         self.crop_overlap_ratio = crop_overlap_ratio
         self.min_mask_region_area = min_mask_region_area
         self.output_mode = output_mode
+        self._dp_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._dp_sharding = NamedSharding(mesh, P("dp"))
 
     def generate(self, image: np.ndarray) -> List[Dict[str, Any]]:
         """(H, W, 3) uint8 RGB → list of mask records (ref generate,
@@ -160,11 +170,15 @@ class SamAutomaticMaskGenerator:
         coords[:n, 0] = in_points
         labels[:n, 0] = 1.0
 
+        coords_j, labels_j = jnp.asarray(coords), jnp.asarray(labels)
+        if self._dp_sharding is not None:
+            coords_j = jax.device_put(coords_j, self._dp_sharding)
+            labels_j = jax.device_put(labels_j, self._dp_sharding)
         low_res, iou_preds = _batched_decode(
             self.predictor.model,
             self.predictor.features,
-            jnp.asarray(coords),
-            jnp.asarray(labels),
+            coords_j,
+            labels_j,
         )
         masks = sam_lib.postprocess_masks(
             self.predictor.model, low_res, self.predictor.input_size, im_size

@@ -70,3 +70,20 @@ def test_points_sampler(rng):
     for i, (y, x, _) in enumerate(pts[:n]):
         if y >= 0:
             assert sel[int(y), int(x)]
+
+
+def test_amg_with_mesh(rng):
+    """AMG prompt batches shard over a dp mesh axis."""
+    from sam_quantization_tpu.automatic_mask_generator import SamAutomaticMaskGenerator
+    from sam_quantization_tpu.parallel import mesh as mesh_lib
+
+    model = sam_lib.init(jax.random.PRNGKey(0), VIT_TINY)
+    mesh = mesh_lib.make_mesh(4, tp=1)
+    gen = SamAutomaticMaskGenerator(
+        model, points_per_side=4, points_per_batch=16,
+        pred_iou_thresh=-1e9, stability_score_thresh=0.0,
+        attn_impl="xla", mesh=mesh,
+    )
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    anns = gen.generate(img)
+    assert isinstance(anns, list)
