@@ -30,6 +30,8 @@ def _flatten(tree: Any, prefix: str, out: Dict[str, np.ndarray], meta: Dict[str,
             "groupsize": tree.groupsize,
             "pack_block": tree.pack_block,
             "has_bias": tree.bias is not None,
+            "act_bits": tree.act_bits,
+            "sym": tree.sym,
         }
         out[f"{prefix}.qweight"] = np.asarray(tree.qweight)
         out[f"{prefix}.scales"] = np.asarray(tree.scales)
@@ -96,6 +98,8 @@ def _unflatten(arrays: Dict[str, np.ndarray], meta: Dict[str, Any]) -> Any:
             out_features=m["out_features"],
             groupsize=m["groupsize"],
             pack_block=m["pack_block"],
+            act_bits=m.get("act_bits", 0),
+            sym=m.get("sym", False),
         )
 
     def listify(node):
