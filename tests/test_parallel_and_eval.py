@@ -86,3 +86,30 @@ def test_click_loop_eval_tiny_model(rng):
         encode, decode, samples(), max_clicks=3, img_size=size
     )
     assert len(noc) == 3
+
+
+def test_sp_attention_matches_reference(rng):
+    """Sequence-parallel global attention == dense attention."""
+    from jax.sharding import Mesh
+    import numpy as np
+
+    from sam_quantization_tpu.parallel.sp_attention import (
+        sp_attention, sp_attention_reference,
+    )
+
+    devs = np.asarray(jax.devices()[:8]).reshape(1, 8)
+    mesh = Mesh(devs, ("dp", "tp"))
+    B, nh, kh, kw, hd = 2, 4, 8, 8, 16
+    L = kh * kw
+    q = jnp.asarray(rng.normal(size=(B, nh, L, hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, nh, L, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, nh, L, hd)).astype(np.float32))
+    rh = jnp.asarray(rng.normal(size=(B, nh, L, kh)).astype(np.float32) * 0.1)
+    rw = jnp.asarray(rng.normal(size=(B, nh, L, kw)).astype(np.float32) * 0.1)
+    out = sp_attention(q, k, v, rh, rw, hd**-0.5, mesh, axis="tp")
+    ref = sp_attention_reference(q, k, v, rh, rw, hd**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    out2 = sp_attention(q, k, v, None, None, hd**-0.5, mesh, axis="tp")
+    ref2 = sp_attention_reference(q, k, v, None, None, hd**-0.5)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=2e-5, atol=2e-5)
