@@ -27,7 +27,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sam_quantization_tpu.nn.packed import PackedLinear, dequantize, unpack_words
+from sam_quantization_tpu.nn.packed import (
+    PackedLinear,
+    dequantize,
+    unpack_to_int,
+    unpack_words,
+)
 
 
 INTERPRET = False  # set True to run kernels in interpreter mode (CPU tests)
@@ -54,6 +59,10 @@ def quant_matmul(x: jax.Array, p: PackedLinear, *, backend: str | None = None) -
             return quant_matmul_a8_xla(x, p)
         return quant_matmul_xla(x, p)
     if p.act_bits == 8:
+        if p.sym:
+            # XLA's native int8 MXU mode beats the in-kernel integer dots
+            # (Mosaic's int8 dot doesn't hit the double-rate path).
+            return quant_matmul_a8_sym_native(x, p)
         return quant_matmul_a8_pallas(x, p)
     return quant_matmul_pallas(x, p)
 
@@ -71,6 +80,37 @@ def quant_matmul_a8_xla(x: jax.Array, p: PackedLinear) -> jax.Array:
     xq, xs = quantize_activations_int8(x)
     w = dequantize(p, jnp.float32)
     y = jnp.dot(xq.astype(jnp.float32), w, preferred_element_type=jnp.float32)
+    return (y * xs).astype(x.dtype)
+
+
+def quant_matmul_a8_sym_native(x: jax.Array, p: PackedLinear) -> jax.Array:
+    """Symmetric W-A8 through XLA's *native* int8 MXU mode.
+
+    XLA lowers int8×int8→int32 dots onto the double-rate int8 systolic path
+    (measured 1.49× bf16 on v5e); the weight unpack materializes an int8
+    tensor per call but that read/write is half a bf16 weight load. Grouped
+    scales fold per K-group via a reshaped contraction.
+    """
+    assert p.sym
+    xq, xs = quantize_activations_int8(x)
+    mid = 1 << (p.bits - 1)
+    w8 = (unpack_to_int(p) - mid).astype(jnp.int8)  # (K, N)
+    K, N = w8.shape
+    G = p.scales.shape[0]
+    if G == 1:
+        acc = jax.lax.dot_general(
+            xq, w8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        y = acc * p.scales[0][None, :]
+    else:
+        g = K // G
+        acc = jax.lax.dot_general(
+            xq.reshape(-1, G, g),
+            w8.reshape(G, g, N),
+            dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (G, M, N)
+        y = jnp.einsum("gmn,gn->mn", acc.astype(jnp.float32), p.scales)
     return (y * xs).astype(x.dtype)
 
 

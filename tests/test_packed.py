@@ -134,3 +134,17 @@ def test_quant_matmul_a8_sym(groupsize, rng):
     finally:
         quant_matmul.INTERPRET = False
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("groupsize", [0, 64])
+def test_quant_matmul_a8_sym_native(groupsize, rng):
+    import dataclasses
+
+    K, N, M = 256, 256, 32
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.05
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    p = packed.quantize_rtn(jnp.asarray(w), bits=4, groupsize=groupsize, sym=True)
+    p = dataclasses.replace(p, act_bits=8)
+    got = np.asarray(quant_matmul.quant_matmul_a8_sym_native(jnp.asarray(x), p))
+    want = np.asarray(quant_matmul.quant_matmul_a8_xla(jnp.asarray(x), p))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
