@@ -35,6 +35,7 @@ def main(argv=None):
     from sam_quantization_tpu.quant import artifacts
 
     model = build_sam.sam_model_registry[args.model](checkpoint=args.checkpoint)
+    ctx = None
     if args.load:
         enc, qcfg = artifacts.load_quantized(args.load)
         model = sam_lib.Sam(
@@ -44,12 +45,42 @@ def main(argv=None):
             config=model.config,
         )
         print(f"loaded quantized encoder: {qcfg.get('method')}", file=sys.stderr)
+        if qcfg.get("method") == "fq":
+            import os
+
+            import numpy as np
+
+            from sam_quantization_tpu.quant.fq.pipeline import FQConfig, FQCtx
+
+            qp_path = os.path.join(args.load, "fq_qparams.npz")
+            if os.path.exists(qp_path):
+                raw = np.load(qp_path)
+                qparams = {}
+                for key in raw.files:
+                    path, kind = key.rsplit(".", 1)
+                    s, z = qparams.get(path, (None, None))
+                    if kind == "scale":
+                        s = jnp.asarray(raw[key])
+                    else:
+                        z = jnp.asarray(raw[key])
+                    qparams[path] = (s, z)
+                fqcfg = FQConfig(
+                    int_softmax=qcfg.get("lis", True),
+                    int_norm=qcfg.get("ptf", True),
+                    observer_a=qcfg.get("quant_method", "minmax"),
+                )
+                ctx = FQCtx("quant", fqcfg, qparams=qparams)
+                print("loaded FQ activation qparams", file=sys.stderr)
 
     out = {}
     size = model.config.image_encoder.img_size
+    from sam_quantization_tpu.quant.context import NULL_CTX
+
+    use_ctx = ctx or NULL_CTX
+    attn = "xla" if ctx is not None else "auto"
     if args.benchmark:
         # counterpart of bench_speed (gptq4sam_infer.py:59-79)
-        fn = jax.jit(lambda x: sam_lib.encode_image(model, x))
+        fn = jax.jit(lambda x: sam_lib.encode_image(model, x, use_ctx, attn_impl=attn))
         x = jnp.zeros((1, size, size, 3), jnp.bfloat16)
         for _ in range(args.bench_warmup):
             r = fn(x)
@@ -63,7 +94,7 @@ def main(argv=None):
         out["encoder_images_per_s"] = round(1.0 / dt, 3)
 
     if args.eval:
-        encode, decode = click_eval.make_sam_backend(model)
+        encode, decode = click_eval.make_sam_backend(model, ctx=ctx)
         if args.sbd_dir:
             from sam_quantization_tpu.data.datasets import (
                 SBDDataset, preprocess_for_eval,
