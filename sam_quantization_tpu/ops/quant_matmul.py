@@ -59,9 +59,11 @@ def quant_matmul(x: jax.Array, p: PackedLinear, *, backend: str | None = None) -
             return quant_matmul_a8_xla(x, p)
         return quant_matmul_xla(x, p)
     if p.act_bits == 8:
-        if p.sym:
+        if p.sym and p.num_groups <= 4:
             # XLA's native int8 MXU mode beats the in-kernel integer dots
-            # (Mosaic's int8 dot doesn't hit the double-rate path).
+            # (Mosaic's int8 dot doesn't hit the double-rate path). The
+            # grouped variant materializes a (G, M, N) int32 accumulator, so
+            # only small group counts route here.
             return quant_matmul_a8_sym_native(x, p)
         return quant_matmul_a8_pallas(x, p)
     return quant_matmul_pallas(x, p)
