@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--groupsize", type=int, default=128)
     ap.add_argument("--a8", action="store_true",
                     help="W-sym + dynamic int8 activations on the int8 MXU")
+    ap.add_argument("--baseline-attn", default="auto", choices=["auto", "xla"],
+                    help="xla = pure-XLA eager attention baseline (no Pallas)")
     args = ap.parse_args()
 
     from sam_quantization_tpu.models import image_encoder
@@ -69,7 +71,9 @@ def main():
     x = jnp.zeros((args.batch, size, size, 3), jnp.bfloat16)
 
     print(f"[bench] {args.model} bf16 encoder...", file=sys.stderr, flush=True)
-    fp_fn = jax.jit(lambda x: image_encoder.apply(params, x, ecfg))
+    fp_fn = jax.jit(
+        lambda x: image_encoder.apply(params, x, ecfg, attn_impl=args.baseline_attn)
+    )
     fp_ips = _throughput(fp_fn, x, args.iters, args.warmup)
     print(f"[bench] bf16: {fp_ips:.3f} img/s", file=sys.stderr, flush=True)
 
