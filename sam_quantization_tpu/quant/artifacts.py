@@ -116,6 +116,12 @@ def _unflatten(arrays: Dict[str, np.ndarray], meta: Dict[str, Any]) -> Any:
 def load_quantized(directory: str) -> Tuple[Any, Dict[str, Any]]:
     """Load (params, quant_config) from a save_quantized directory
     (counterpart of gptq_triton load_quant, __init__.py:15-81)."""
+    if not os.path.isfile(os.path.join(directory, "quant_config.json")):
+        raise FileNotFoundError(
+            f"{directory!r} is not a quantized-artifact directory "
+            "(missing quant_config.json — create one with "
+            "`python -m sam_quantization_tpu.cli.quantize ... --save DIR`)"
+        )
     with open(os.path.join(directory, "quant_config.json")) as f:
         cfg = json.load(f)
     with open(os.path.join(directory, "structure.json")) as f:
