@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--groupsize", type=int, default=128)
     ap.add_argument("--a8", action="store_true",
                     help="W-sym + dynamic int8 activations on the int8 MXU")
+    ap.add_argument("--a8-cached", action="store_true",
+                    help="a8 with pre-unpacked int8 weights (IntLinear)")
     ap.add_argument("--baseline-attn", default="auto", choices=["auto", "xla"],
                     help="xla = pure-XLA eager attention baseline (no Pallas)")
     args = ap.parse_args()
@@ -77,15 +79,20 @@ def main():
     fp_ips = _throughput(fp_fn, x, args.iters, args.warmup)
     print(f"[bench] bf16: {fp_ips:.3f} img/s", file=sys.stderr, flush=True)
 
-    qcfg = gptq.GPTQConfig(bits=args.bits, groupsize=args.groupsize, sym=args.a8)
+    a8 = args.a8 or args.a8_cached
+    qcfg = gptq.GPTQConfig(bits=args.bits, groupsize=args.groupsize, sym=a8)
     qparams = sequential.rtn_quantize_encoder(params, qcfg)
-    if args.a8:
+    if args.a8_cached:
+        from sam_quantization_tpu.nn.packed import cache_int8
+
+        qparams = cache_int8(qparams)
+    elif args.a8:
         from sam_quantization_tpu.nn.packed import with_act_bits
 
         qparams = with_act_bits(qparams, 8)
     q_fn = jax.jit(lambda x: image_encoder.apply(qparams, x, ecfg))
     q_ips = _throughput(q_fn, x, args.iters, args.warmup)
-    tag = f"int{args.bits}" + ("_a8" if args.a8 else "")
+    tag = f"int{args.bits}" + ("_a8cached" if args.a8_cached else "_a8" if args.a8 else "")
     print(f"[bench] {tag}: {q_ips:.3f} img/s", file=sys.stderr, flush=True)
 
     print(

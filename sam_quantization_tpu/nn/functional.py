@@ -21,7 +21,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from sam_quantization_tpu.nn.packed import PackedLinear, dequantize
+from sam_quantization_tpu.nn.packed import IntLinear, PackedLinear, dequantize
 
 
 def linear(p, x: jax.Array, *, precision=None) -> jax.Array:
@@ -29,7 +29,7 @@ def linear(p, x: jax.Array, *, precision=None) -> jax.Array:
 
     ``p`` is either ``{'w': (K, N), 'b': (N,)?}`` or a :class:`PackedLinear`.
     """
-    if isinstance(p, PackedLinear):
+    if isinstance(p, (PackedLinear, IntLinear)):
         return quant_linear(p, x, precision=precision)
     y = jnp.dot(x, p["w"].astype(x.dtype), precision=precision)
     b = p.get("b")
@@ -51,7 +51,10 @@ def quant_linear(p: PackedLinear, x: jax.Array, *, precision=None) -> jax.Array:
 
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    y = quant_matmul.quant_matmul(x2, p)
+    if isinstance(p, IntLinear):
+        y = quant_matmul.int8_matmul(x2, p)
+    else:
+        y = quant_matmul.quant_matmul(x2, p)
     y = y.reshape(*lead, p.out_features)
     if p.bias is not None:
         y = y + p.bias.astype(y.dtype)

@@ -200,6 +200,58 @@ def quantize_rtn(
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class IntLinear:
+    """Unpacked integer linear weights for the native int8-MXU path.
+
+    Storage is a plain int8 (K, N) matrix (zero already subtracted for
+    symmetric grids) + per-group scales — 2× bf16's weight bytes but with no
+    per-call unpack, so XLA feeds the double-rate int8 systolic array
+    directly. Produced from a symmetric :class:`PackedLinear` by
+    :func:`cache_int8`; the serving trade-off vs packed INT4 is bandwidth
+    (4×) against MXU rate (1.5×) — see BENCHMARKS.md.
+    """
+
+    w8: jax.Array  # int8 (K, N), symmetric grid (zero removed)
+    scales: jax.Array  # f32 (G, N)
+    bias: Optional[jax.Array]
+    groupsize: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def in_features(self) -> int:
+        return self.w8.shape[0]
+
+    @property
+    def out_features(self) -> int:
+        return self.w8.shape[1]
+
+    @property
+    def num_groups(self) -> int:
+        return self.scales.shape[0]
+
+
+def cache_int8(tree):
+    """Convert every *symmetric* PackedLinear in a pytree to IntLinear
+    (pre-unpacked int8 weights for the native int8-MXU serving mode)."""
+    from sam_quantization_tpu.nn import packed as _p
+
+    def walk(node):
+        if isinstance(node, PackedLinear) and node.sym:
+            mid = 1 << (node.bits - 1)
+            w8 = (_p.unpack_to_int(node) - mid).astype(jnp.int8)
+            return IntLinear(
+                w8=w8, scales=node.scales, bias=node.bias, groupsize=node.groupsize
+            )
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(tree)
+
+
 def with_act_bits(tree, act_bits: int):
     """Return a copy of a parameter pytree with ``act_bits`` set on every
     PackedLinear node (0 = weight-only, 8 = W-low-bit/A-int8 MXU path)."""

@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sam_quantization_tpu.nn.packed import (
+    IntLinear,
     PackedLinear,
     dequantize,
     unpack_to_int,
@@ -112,6 +113,29 @@ def quant_matmul_a8_sym_native(x: jax.Array, p: PackedLinear) -> jax.Array:
             dimension_numbers=(((2,), (1,)), ((1,), (0,))),
             preferred_element_type=jnp.int32,
         )  # (G, M, N)
+        y = jnp.einsum("gmn,gn->mn", acc.astype(jnp.float32), p.scales)
+    return (y * xs).astype(x.dtype)
+
+
+def int8_matmul(x: jax.Array, p: IntLinear) -> jax.Array:
+    """Cached-int8 native path: dynamic per-token int8 activations × stored
+    int8 weights on the double-rate MXU — no unpack in the hot loop."""
+    xq, xs = quantize_activations_int8(x)
+    K, N = p.w8.shape
+    G = p.scales.shape[0]
+    if G == 1:
+        acc = jax.lax.dot_general(
+            xq, p.w8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        y = acc * p.scales[0][None, :]
+    else:
+        g = K // G
+        acc = jax.lax.dot_general(
+            xq.reshape(-1, G, g),
+            p.w8.reshape(G, g, N),
+            dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
         y = jnp.einsum("gmn,gn->mn", acc.astype(jnp.float32), p.scales)
     return (y * xs).astype(x.dtype)
 

@@ -148,3 +148,24 @@ def test_quant_matmul_a8_sym_native(groupsize, rng):
     got = np.asarray(quant_matmul.quant_matmul_a8_sym_native(jnp.asarray(x), p))
     want = np.asarray(quant_matmul.quant_matmul_a8_xla(jnp.asarray(x), p))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_int_linear_cached(rng):
+    """cache_int8 → IntLinear dispatch matches the packed a8-native path."""
+    import dataclasses
+    from sam_quantization_tpu.nn import functional as F
+    from sam_quantization_tpu.nn.packed import IntLinear, cache_int8
+
+    K, N, M = 256, 256, 32
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.05
+    b = rng.normal(size=(N,)).astype(np.float32) * 0.01
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    p = packed.quantize_rtn(jnp.asarray(w), bits=4, groupsize=64, sym=True,
+                            bias=jnp.asarray(b))
+    p8 = dataclasses.replace(p, act_bits=8)
+    tree = cache_int8({"lin": p})
+    lin = tree["lin"]
+    assert isinstance(lin, IntLinear) and lin.w8.dtype == jnp.int8
+    got = np.asarray(F.linear(lin, x))
+    want = np.asarray(quant_matmul.quant_matmul_a8_xla(x, p8) + jnp.asarray(b))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
