@@ -114,27 +114,49 @@ def block_apply(
         queries = queries + attention(
             p["self_attn"], q, q, queries, nh, ctx, f"{path}.self_attn"
         )
-    queries = ctx.layer_norm(f"{path}.norm1", p["norm1"], queries, cfg.ln_eps)
+    # residual-stream observation points feed the integer LN (PTF) exactly
+    # like the encoder's qact2/qact4 (fq_vit transformer.py's 14-QAct layout)
+    queries = ctx.act(f"{path}.qact_res1", queries, ln_input=True)
+    queries = ctx.layer_norm(
+        f"{path}.norm1", p["norm1"], queries, cfg.ln_eps,
+        in_path=f"{path}.qact_res1", out_path=f"{path}.qact_ln1",
+    )
+    queries = ctx.act(f"{path}.qact_ln1", queries)
 
     q = queries + query_pe
     k = keys + key_pe
     queries = queries + attention(
         p["cross_attn_t2i"], q, k, keys, nh, ctx, f"{path}.cross_attn_t2i"
     )
-    queries = ctx.layer_norm(f"{path}.norm2", p["norm2"], queries, cfg.ln_eps)
+    queries = ctx.act(f"{path}.qact_res2", queries, ln_input=True)
+    queries = ctx.layer_norm(
+        f"{path}.norm2", p["norm2"], queries, cfg.ln_eps,
+        in_path=f"{path}.qact_res2", out_path=f"{path}.qact_ln2",
+    )
+    queries = ctx.act(f"{path}.qact_ln2", queries)
 
     h = ctx.linear(f"{path}.mlp.lin1", p["mlp"]["lin1"], queries)
     h = jax.nn.relu(h)
     h = ctx.linear(f"{path}.mlp.lin2", p["mlp"]["lin2"], h)
     queries = queries + h
-    queries = ctx.layer_norm(f"{path}.norm3", p["norm3"], queries, cfg.ln_eps)
+    queries = ctx.act(f"{path}.qact_res3", queries, ln_input=True)
+    queries = ctx.layer_norm(
+        f"{path}.norm3", p["norm3"], queries, cfg.ln_eps,
+        in_path=f"{path}.qact_res3", out_path=f"{path}.qact_ln3",
+    )
+    queries = ctx.act(f"{path}.qact_ln3", queries)
 
     q = queries + query_pe
     k = keys + key_pe
     keys = keys + attention(
         p["cross_attn_i2t"], k, q, queries, nh, ctx, f"{path}.cross_attn_i2t"
     )
-    keys = ctx.layer_norm(f"{path}.norm4", p["norm4"], keys, cfg.ln_eps)
+    keys = ctx.act(f"{path}.qact_res4", keys, ln_input=True)
+    keys = ctx.layer_norm(
+        f"{path}.norm4", p["norm4"], keys, cfg.ln_eps,
+        in_path=f"{path}.qact_res4", out_path=f"{path}.qact_ln4",
+    )
+    keys = ctx.act(f"{path}.qact_ln4", keys)
     return queries, keys
 
 
