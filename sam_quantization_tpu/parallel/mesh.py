@@ -25,7 +25,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from sam_quantization_tpu.nn.packed import PackedLinear
+from sam_quantization_tpu.nn.packed import IntLinear, PackedLinear
 
 
 def make_mesh(
@@ -41,7 +41,14 @@ def make_mesh(
 
 
 def _linear_spec(p, out_axis: Optional[str], in_axis: Optional[str]):
-    """PartitionSpec tree for a linear param (dict or PackedLinear)."""
+    """PartitionSpec tree for a linear param (dict, PackedLinear, IntLinear)."""
+    if isinstance(p, IntLinear):
+        return IntLinear(
+            w8=P(in_axis, out_axis),
+            scales=P(None, out_axis),
+            bias=None if p.bias is None else P(out_axis),
+            groupsize=p.groupsize,
+        )
     if isinstance(p, PackedLinear):
         return PackedLinear(
             qweight=P(in_axis, out_axis),

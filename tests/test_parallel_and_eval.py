@@ -113,3 +113,29 @@ def test_sp_attention_matches_reference(rng):
     out2 = sp_attention(q, k, v, None, None, hd**-0.5, mesh, axis="tp")
     ref2 = sp_attention_reference(q, k, v, None, None, hd**-0.5)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=2e-5, atol=2e-5)
+
+
+def test_intlinear_sharding_specs(rng):
+    """IntLinear trees get tensor-parallel specs and shard onto the mesh."""
+    import numpy as np
+    from sam_quantization_tpu.models import image_encoder
+    from sam_quantization_tpu.models.configs import VIT_TINY
+    from sam_quantization_tpu.nn.packed import IntLinear, cache_int8
+    from sam_quantization_tpu.parallel import mesh as mesh_lib
+    from sam_quantization_tpu.quant import gptq, sequential
+
+    params = image_encoder.init(jax.random.PRNGKey(0), VIT_TINY.image_encoder)
+    qp = sequential.rtn_quantize_encoder(
+        params, gptq.GPTQConfig(bits=4, groupsize=0, sym=True)
+    )
+    qp = cache_int8(qp)
+    assert isinstance(qp["blocks"][0]["attn"]["qkv"], IntLinear)
+    mesh = mesh_lib.make_mesh(4, tp=2)
+    specs = mesh_lib.encoder_param_specs(qp)
+    sharded = mesh_lib.shard_params(qp, mesh, specs)
+    out = image_encoder.apply(
+        sharded, jnp.zeros((2, VIT_TINY.image_encoder.img_size,
+                            VIT_TINY.image_encoder.img_size, 3)),
+        VIT_TINY.image_encoder, attn_impl="xla",
+    )
+    assert np.isfinite(np.asarray(out)).all()
