@@ -387,7 +387,7 @@ def quant_matmul_a8_pallas(x: jax.Array, p: PackedLinear) -> jax.Array:
 def _quant_matmul_a8_sym(x: jax.Array, p: PackedLinear) -> jax.Array:
     M, K = x.shape
     N = p.out_features
-    block_m, block_n, block_k = pick_blocks(M, N, K, p.groupsize, p.pack_block)
+    block_m, block_n, block_k = pick_blocks(M, N, K, p.groupsize, p.pack_block, p.bits)
     xq, xs = quantize_activations_int8(x)
     Mp = _round_up(M, block_m)
     if Mp != M:
@@ -414,7 +414,7 @@ def _quant_matmul_a8_sym(x: jax.Array, p: PackedLinear) -> jax.Array:
 def _quant_matmul_a8_asym(x: jax.Array, p: PackedLinear) -> jax.Array:
     M, K = x.shape
     N = p.out_features
-    block_m, block_n, block_k = pick_blocks(M, N, K, p.groupsize, p.pack_block)
+    block_m, block_n, block_k = pick_blocks(M, N, K, p.groupsize, p.pack_block, p.bits)
     xq, xs = quantize_activations_int8(x)
     Mp = _round_up(M, block_m)
     if Mp != M:
@@ -496,9 +496,14 @@ def _qmm_call(
     )(x, qweight, scales, zeros)
 
 
-def pick_blocks(M, N, K, groupsize, pack_block):
-    """Static block-size heuristic (counterpart of the Triton autotune table,
-    gptq_triton/quant_linear.py:144-230, replaced by a shape-driven rule)."""
+def pick_blocks(M, N, K, groupsize, pack_block, bits=4):
+    """Block sizes: tuned-table lookup first (see ops/autotune.py — the
+    Triton-autotuner counterpart), else a shape-driven heuristic."""
+    from sam_quantization_tpu.ops import autotune
+
+    hit = autotune.lookup(M, K, N, groupsize if groupsize < K else 0, bits)
+    if hit is not None:
+        return hit
     block_m = min(_round_up(M, 128), 512)
     block_n = _divisor_block(N)
     # K tile: a multiple of both groupsize-alignment and pack block.
@@ -514,7 +519,7 @@ def pick_blocks(M, N, K, groupsize, pack_block):
 def quant_matmul_pallas(x: jax.Array, p: PackedLinear) -> jax.Array:
     M, K = x.shape
     N = p.out_features
-    block_m, block_n, block_k = pick_blocks(M, N, K, p.groupsize, p.pack_block)
+    block_m, block_n, block_k = pick_blocks(M, N, K, p.groupsize, p.pack_block, p.bits)
     Mp = _round_up(M, block_m)
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))

@@ -169,3 +169,19 @@ def test_int_linear_cached(rng):
     got = np.asarray(F.linear(lin, x))
     want = np.asarray(quant_matmul.quant_matmul_a8_xla(x, p8) + jnp.asarray(b))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_autotune_candidates_and_table(tmp_path):
+    from sam_quantization_tpu.ops import autotune
+
+    cands = autotune.candidate_blocks(4096, 3840, 1280, 128, 128)
+    assert all(3840 % bn == 0 and 1280 % bk == 0 for _, bn, bk in cands)
+    assert len(cands) > 3
+    # table round trip
+    path = str(tmp_path / "tab.json")
+    import json
+    json.dump({"4096x1280x3840g128b4": [256, 256, 512]}, open(path, "w"))
+    autotune._table = None
+    autotune.load_table(path)
+    assert autotune.lookup(4096, 1280, 3840, 128, 4) == (256, 256, 512)
+    autotune._table = None  # reset global for other tests
