@@ -1,0 +1,30 @@
+"""Run the on-device block-size autotuner and persist the table.
+
+Usage: python tools/autotune.py [--model vit_h] [--m 4096] [--bits 4]
+Writes .samq_autotune.json at the repo root; pick_blocks consults it.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="vit_h")
+    ap.add_argument("--m", type=int, default=4096)
+    ap.add_argument("--bits", type=int, default=4)
+    ap.add_argument("--groupsize", type=int, default=128)
+    args = ap.parse_args()
+    from sam_quantization_tpu.ops import autotune
+
+    table = autotune.tune_model_shapes(
+        args.model, M=args.m, bits=args.bits, groupsize=args.groupsize
+    )
+    print(f"saved {len(table)} entries")
+
+
+if __name__ == "__main__":
+    main()
