@@ -48,7 +48,26 @@ def main(argv=None):
             config=model.config,
         )
     size = model.config.image_encoder.img_size
-    encode, decode = click_eval.make_sam_backend(model)
+    use_predictor = args.mode != "NoBRS" or args.with_flip or args.zoom_in
+    if use_predictor:
+        from sam_quantization_tpu.evaluation.predictors import (
+            FeatureBRSPredictor, InputBRSPredictor, SamEvalPredictor, ZoomIn,
+        )
+        from sam_quantization_tpu.predictor import SamPredictor
+
+        base = SamPredictor(model)
+        kw = dict(
+            with_flip=args.with_flip,
+            zoom_in=ZoomIn(target_size=size) if args.zoom_in else None,
+        )
+        if args.mode == "InputBRS":
+            eval_pred = InputBRSPredictor(base, **kw)
+        elif args.mode == "f-BRS":
+            eval_pred = FeatureBRSPredictor(base, **kw)
+        else:
+            eval_pred = SamEvalPredictor(base, **kw)
+    else:
+        encode, decode = click_eval.make_sam_backend(model)
 
     for name in args.datasets.split(","):
         if name == "synthetic":
@@ -76,9 +95,15 @@ def main(argv=None):
                         return
 
         t0 = time.time()
-        noc, over, spc = click_eval.noc_eval(
-            encode, decode, samples(), max_clicks=args.n_clicks, img_size=size
-        )
+        if use_predictor:
+            noc, over, spc = click_eval.noc_eval_predictor(
+                eval_pred, samples(), max_clicks=args.n_clicks,
+                pred_thr=args.thresh,
+            )
+        else:
+            noc, over, spc = click_eval.noc_eval(
+                encode, decode, samples(), max_clicks=args.n_clicks, img_size=size
+            )
         print(
             metrics.results_table(
                 noc, over, name, spc, time.time() - t0, args.num_samples,

@@ -128,6 +128,45 @@ def click_loop_eval(
     )
 
 
+def noc_eval_predictor(
+    eval_predictor,
+    samples: Iterable[Tuple[np.ndarray, np.ndarray]],
+    max_clicks: int = 20,
+    iou_thrs=(0.80, 0.85, 0.90),
+    pred_thr: float = 0.5,
+):
+    """NoC evaluation through a TTA/BRS predictor
+    (``evaluation.predictors.SamEvalPredictor`` family) — the reference's
+    evaluate_sample loop with predictor indirection
+    (inference/evaluation.py:35-56)."""
+    from sam_quantization_tpu.evaluation import metrics as _metrics
+
+    all_ious = []
+    t0 = time.perf_counter()
+    n = 0
+    for image, gt in samples:
+        n += 1
+        img = np.asarray(image)
+        if img.ndim == 4:
+            img = img[0]
+        eval_predictor.set_input_image(img.astype(np.uint8))
+        clicker = Clicker(gt_mask=gt)
+        pred = np.zeros_like(gt, dtype=bool)
+        ious = []
+        for _ in range(max_clicks):
+            clicker.make_next_click(pred)
+            prob = eval_predictor.get_prediction(clicker)
+            pred = prob[: gt.shape[0], : gt.shape[1]] > pred_thr
+            iou = _metrics.get_iou(gt, pred)
+            ious.append(iou)
+            if iou >= max(iou_thrs):
+                break
+        all_ious.append(np.asarray(ious))
+    elapsed = time.perf_counter() - t0
+    noc, over = _metrics.compute_noc_metric(all_ious, iou_thrs, max_clicks)
+    return noc, over, elapsed / max(n, 1)
+
+
 def noc_eval(
     encode: Callable,
     decode: Callable,
