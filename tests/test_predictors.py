@@ -63,3 +63,20 @@ def test_input_brs(rng):
 
 def test_feature_brs(rng):
     _run(FeatureBRSPredictor, rng, opt_steps=2)
+
+
+def test_noc_eval_predictor_loop(rng):
+    """Predictor-indirected NoC loop (TTA seam) runs end to end."""
+    from sam_quantization_tpu.evaluation import click_eval
+
+    model = sam_lib.init(jax.random.PRNGKey(0), VIT_TINY)
+    base = SamPredictor(model, attn_impl="xla")
+    p = SamEvalPredictor(base)
+    size = VIT_TINY.image_encoder.img_size
+
+    def samples():
+        img, gt = _scene(rng, size)
+        yield img, gt
+
+    noc, over, spc = click_eval.noc_eval_predictor(p, samples(), max_clicks=2)
+    assert len(noc) == 3 and all(n <= 3 for n in noc)
