@@ -203,6 +203,10 @@ def attention(
         attn_impl == "auto"
         and type(ctx) is type(NULL_CTX)  # FP/GPTQ only; FQ needs the hooks
         and jax.default_backend() == "tpu"
+        # Flash wins where eager materializes big logits (4.1× at L=4096);
+        # at window size (L=196) eager XLA is marginally faster (measured
+        # 1.53 vs 1.64 ms at ViT-H shapes) and costs one less Mosaic compile.
+        and L >= 1024
     )
     if use_flash:
         from sam_quantization_tpu.ops import flash_attention
