@@ -31,12 +31,18 @@ def _encode(model, x, attn_impl="auto"):
     return sam_lib.encode_image(model, sam_lib.preprocess(model, x), attn_impl=attn_impl)
 
 
-@functools.partial(jax.jit, static_argnames=("multimask", "with_mask"))
-def _decode(model, emb, coords, labels, mask_input, mask_valid, multimask, with_mask):
+@functools.partial(
+    jax.jit, static_argnames=("multimask", "with_mask", "with_box", "with_points")
+)
+def _decode(
+    model, emb, coords, labels, boxes, mask_input, mask_valid, multimask,
+    with_mask, with_box, with_points=True,
+):
     return sam_lib.decode_masks(
         model,
         emb,
-        points=(coords, labels),
+        points=(coords, labels) if with_points else None,
+        boxes=boxes if with_box else None,
         mask_inputs=mask_input if with_mask else None,
         mask_valid=mask_valid if with_mask else None,
         multimask_output=multimask,
@@ -98,13 +104,13 @@ class SamPredictor:
             n = pc.shape[0]
             coords[0, :n] = pc
             labels[0, :n] = point_labels
+        boxes_j = jnp.zeros((1, 4), jnp.float32)
         if box is not None:
-            b = self.transform.apply_boxes(box.reshape(1, 4), self.original_size)[0]
-            coords[0, n : n + 2] = b.reshape(2, 2)
-            labels[0, n] = 2.0
-            labels[0, n + 1] = 3.0
-            # box corners use dedicated embeddings; emulate via labels 2/3
-            n += 2
+            # real box path: corner embeddings via the prompt encoder's
+            # _embed_boxes, and (matching the reference) no padding point is
+            # appended when a box is present (prompt_encoder.py:83-92, 157-160)
+            b = self.transform.apply_boxes(box.reshape(1, 4), self.original_size)
+            boxes_j = jnp.asarray(b, jnp.float32)
 
         with_mask = mask_input is not None
         if with_mask:
@@ -122,10 +128,13 @@ class SamPredictor:
             self.features,
             jnp.asarray(coords),
             jnp.asarray(labels),
+            boxes_j,
             mi,
             mv,
             multimask_output,
             with_mask,
+            box is not None,
+            point_coords is not None or box is None,
         )
         masks = sam_lib.postprocess_masks(
             self.model, low_res, self.input_size, self.original_size

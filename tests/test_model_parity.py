@@ -412,3 +412,28 @@ def _fake_rest_keys(torch, cfg: SamConfig):
     out = {f"prompt_encoder.{k}": v.numpy() for k, v in pe.state_dict().items()}
     out.update({f"mask_decoder.{k}": v.numpy() for k, v in md.state_dict().items()})
     return out
+
+
+@requires_reference
+def test_predictor_box_prompt_parity(rng):
+    """Box prompts through SamPredictor match the reference's _embed_boxes
+    semantics (corner embeddings, no padding point)."""
+    torch = _torch()
+    from segment_anything.modeling.prompt_encoder import PromptEncoder
+
+    cfg = TINY.prompt_encoder
+    tm = randomize(torch, PromptEncoder(
+        embed_dim=cfg.embed_dim,
+        image_embedding_size=cfg.image_embedding_size,
+        input_image_size=cfg.input_image_size,
+        mask_in_chans=cfg.mask_in_chans,
+    ))
+    sd = {f"prompt_encoder.{k}": v.numpy() for k, v in tm.state_dict().items()}
+    model_p = _convert_prompt_only(sd, cfg)
+    boxes = np.array([[10.0, 20.0, 90.0, 110.0]], np.float32)
+    with torch.no_grad():
+        t_sparse, _ = tm(points=None, boxes=torch.tensor(boxes), masks=None)
+    j_sparse, _ = prompt_encoder.apply(model_p, cfg, boxes=jnp.asarray(boxes))
+    np.testing.assert_allclose(
+        np.asarray(j_sparse), t_sparse.detach().numpy(), rtol=1e-4, atol=1e-5
+    )

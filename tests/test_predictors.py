@@ -80,3 +80,21 @@ def test_noc_eval_predictor_loop(rng):
 
     noc, over, spc = click_eval.noc_eval_predictor(p, samples(), max_clicks=2)
     assert len(noc) == 3 and all(n <= 3 for n in noc)
+
+
+def test_predictor_box_prompt(rng):
+    model = sam_lib.init(jax.random.PRNGKey(0), VIT_TINY)
+    p = SamPredictor(model, attn_impl="xla")
+    size = VIT_TINY.image_encoder.img_size
+    img, gt = _scene(rng, size)
+    p.set_image(img)
+    masks, ious, low = p.predict(box=np.array([20.0, 30.0, 90.0, 100.0]),
+                                 multimask_output=True)
+    assert masks.shape == (3, size, size)
+    assert np.isfinite(ious).all()
+    # box + point together
+    masks2, _, _ = p.predict(
+        point_coords=np.array([[50.0, 60.0]]), point_labels=np.array([1.0]),
+        box=np.array([20.0, 30.0, 90.0, 100.0]), multimask_output=False,
+    )
+    assert masks2.shape == (1, size, size)
