@@ -56,6 +56,9 @@ def main():
                     help="a8 with pre-unpacked int8 weights (IntLinear)")
     ap.add_argument("--baseline-attn", default="auto", choices=["auto", "xla"],
                     help="xla = pure-XLA eager attention baseline (no Pallas)")
+    ap.add_argument("--per-block", action="store_true",
+                    help="per-block jits + host loop (for models whose "
+                         "whole-encoder compile breaks the remote helper)")
     args = ap.parse_args()
 
     from sam_quantization_tpu.models import image_encoder
@@ -73,9 +76,13 @@ def main():
     x = jnp.zeros((args.batch, size, size, 3), jnp.bfloat16)
 
     print(f"[bench] {args.model} bf16 encoder...", file=sys.stderr, flush=True)
-    fp_fn = jax.jit(
-        lambda x: image_encoder.apply(params, x, ecfg, attn_impl=args.baseline_attn)
-    )
+    if args.per_block:
+        run = image_encoder.make_per_block_apply(ecfg, attn_impl=args.baseline_attn)
+        fp_fn = lambda x: run(params, x)
+    else:
+        fp_fn = jax.jit(
+            lambda x: image_encoder.apply(params, x, ecfg, attn_impl=args.baseline_attn)
+        )
     fp_ips = _throughput(fp_fn, x, args.iters, args.warmup)
     print(f"[bench] bf16: {fp_ips:.3f} img/s", file=sys.stderr, flush=True)
 
@@ -90,7 +97,11 @@ def main():
         from sam_quantization_tpu.nn.packed import with_act_bits
 
         qparams = with_act_bits(qparams, 8)
-    q_fn = jax.jit(lambda x: image_encoder.apply(qparams, x, ecfg))
+    if args.per_block:
+        qrun = image_encoder.make_per_block_apply(ecfg)
+        q_fn = lambda x: qrun(qparams, x)
+    else:
+        q_fn = jax.jit(lambda x: image_encoder.apply(qparams, x, ecfg))
     q_ips = _throughput(q_fn, x, args.iters, args.warmup)
     tag = f"int{args.bits}" + ("_a8cached" if args.a8_cached else "_a8" if args.a8 else "")
     print(f"[bench] {tag}: {q_ips:.3f} img/s", file=sys.stderr, flush=True)

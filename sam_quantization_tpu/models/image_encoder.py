@@ -368,6 +368,39 @@ def apply(
     return neck(p, x, cfg, ctx)
 
 
+def make_per_block_apply(cfg: ImageEncoderConfig, attn_impl: str = "auto"):
+    """Encoder apply as small per-stage jits driven by a host loop.
+
+    For environments where a whole-encoder compile is infeasible (the axon
+    remote-compile helper fails on ViT-L/H-sized programs), this compiles
+    embed, one windowed block, one global block, and the neck as four small
+    programs and loops on host. Costs one dispatch per block; numerics are
+    identical to :func:`apply`.
+    """
+    embed_fn = jax.jit(lambda p, x: embed(p, x, cfg))
+    neck_fn = jax.jit(lambda p, x: neck(p, x, cfg))
+    block_fns = {}
+
+    def block_fn(i: int):
+        ws = cfg.block_window(i)
+        if ws not in block_fns:
+            slot = i  # any block index with this window size traces the same
+            block_fns[ws] = jax.jit(
+                lambda bp, x, slot=slot: block_apply(
+                    bp, x, cfg, slot, NULL_CTX, attn_impl=attn_impl
+                )
+            )
+        return block_fns[ws]
+
+    def run(p, x):
+        x = embed_fn(p, x)
+        for i in range(cfg.depth):
+            x = block_fn(i)(p["blocks"][i], x)
+        return neck_fn(p, x)
+
+    return run
+
+
 def _superblock_period(cfg: ImageEncoderConfig):
     """Period p such that blocks [i*p .. (i+1)*p) have identical window
     structure across i (global exactly at the last slot), else None."""

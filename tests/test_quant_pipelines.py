@@ -238,3 +238,14 @@ def test_swin_classifier_fq(rng):
     wq = fq_quantize_weights(params, fqcfg)
     out = np.asarray(sw.apply(wq, x, cfg, FQCtx("quant", fqcfg, qparams=qp)))
     assert np.isfinite(out).all()
+
+
+def test_per_block_apply_matches(rng):
+    import sam_quantization_tpu.models.image_encoder as ie
+
+    params = ie.init(jax.random.PRNGKey(1), ECFG)
+    x = jnp.asarray(rng.normal(size=(1, ECFG.img_size, ECFG.img_size, 3)).astype(np.float32))
+    whole = np.asarray(ie.apply(params, x, ECFG, attn_impl="xla"))
+    run = ie.make_per_block_apply(ECFG, attn_impl="xla")
+    per = np.asarray(run(params, x))
+    np.testing.assert_allclose(per, whole, rtol=2e-5, atol=2e-5)
