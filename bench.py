@@ -78,7 +78,10 @@ def main():
     print(f"[bench] {args.model} bf16 encoder...", file=sys.stderr, flush=True)
     if args.per_block:
         run = image_encoder.make_per_block_apply(ecfg, attn_impl=args.baseline_attn)
-        fp_fn = lambda x: run(params, x)
+        # block per call: with 30+ host dispatches per forward, async timing
+        # through the tunnel under-reports wildly (measured 459 "img/s" for
+        # ViT-H); synchronous timing is honest here.
+        fp_fn = lambda x: jax.block_until_ready(run(params, x))
     else:
         fp_fn = jax.jit(
             lambda x: image_encoder.apply(params, x, ecfg, attn_impl=args.baseline_attn)
@@ -99,7 +102,7 @@ def main():
         qparams = with_act_bits(qparams, 8)
     if args.per_block:
         qrun = image_encoder.make_per_block_apply(ecfg)
-        q_fn = lambda x: qrun(qparams, x)
+        q_fn = lambda x: jax.block_until_ready(qrun(qparams, x))
     else:
         q_fn = jax.jit(lambda x: image_encoder.apply(qparams, x, ecfg))
     q_ips = _throughput(q_fn, x, args.iters, args.warmup)
