@@ -128,13 +128,6 @@ def gptq_quantize_encoder(
     xs: List[jax.Array] = [embed_fn(params, b) for b in batches]
     nbatches = len(xs)
 
-    def run_block(block_params, x, idx, capture_paths):
-        ctx = HessianCaptureCtx(capture_paths)
-        out = image_encoder.block_apply(
-            block_params, x, ecfg, idx, ctx, attn_impl="xla"
-        )
-        return out, ctx.xtx, ctx.rows
-
     losses: Dict[str, float] = {}
     subsets = (
         TRUE_SEQUENTIAL_SUBSETS
@@ -142,18 +135,42 @@ def gptq_quantize_encoder(
         else (tuple(p for s in TRUE_SEQUENTIAL_SUBSETS for p in s),)
     )
 
+    # Jits are keyed by (window size, subset): blocks with the same window
+    # share shapes, so ViT-H compiles 2 windows × (3 subsets + 1 fwd) programs
+    # instead of 32 × 4 (the reference pays a fresh CUDA graph per layer too,
+    # but compile cost dominates on TPU).
+    capture_fns: Dict = {}
+    fwd_fns: Dict = {}
+
+    def capture_fn(ws: int, slot: int, subset):
+        key = (ws, subset)
+        if key not in capture_fns:
+            def f(bp, x, slot=slot, subset=subset):
+                ctx = HessianCaptureCtx(subset)
+                image_encoder.block_apply(bp, x, ecfg, slot, ctx, attn_impl="xla")
+                return ctx.xtx
+            capture_fns[key] = jax.jit(f)
+        return capture_fns[key]
+
+    def fwd_fn(ws: int, slot: int):
+        if ws not in fwd_fns:
+            fwd_fns[ws] = jax.jit(
+                lambda bp, x, slot=slot: image_encoder.block_apply(
+                    bp, x, ecfg, slot, NullCtx(), attn_impl="xla"
+                )
+            )
+        return fwd_fns[ws]
+
     for i in range(ecfg.depth):
         block = params["blocks"][i]
+        ws = ecfg.block_window(i)
         for subset in subsets:
             # Hessian accumulation for this subset, with already-quantized
             # earlier subsets active (gptq4sam.py:341-398 semantics).
-            capture = jax.jit(
-                lambda bp, x: run_block(bp, x, i, subset)[1:],
-                static_argnames=(),
-            )
+            capture = capture_fn(ws, i, subset)
             h_acc: Dict[str, jax.Array] = {}
             for x in xs:
-                xtx, _rows = capture(block, x)
+                xtx = capture(block, x)
                 for k, v in xtx.items():
                     h_acc[k] = h_acc.get(k, 0.0) + v
             for path in subset:
@@ -166,11 +183,7 @@ def gptq_quantize_encoder(
                 if verbose:
                     print(f"blocks.{i}.{path}: loss={loss:.4f}")
         # Propagate quantized outputs to the next block (gptq4sam.py:399-412).
-        fwd = jax.jit(
-            lambda bp, x: image_encoder.block_apply(
-                bp, x, ecfg, i, NullCtx(), attn_impl="xla"
-            )
-        )
+        fwd = fwd_fn(ws, i)
         xs = [fwd(block, x) for x in xs]
     return params, losses
 
