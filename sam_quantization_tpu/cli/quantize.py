@@ -43,6 +43,18 @@ def build_parser(parser=None):
         choices=["minmax", "ema", "omse", "percentile"],
     )
     p.add_argument("--calib-iter", type=int, default=10)
+    # mixed precision (PPQ per-op overrides analog, custimized_quant.py:56-147)
+    p.add_argument(
+        "--overrides", default=None,
+        help="JSON file of per-op override rules "
+        '([{"pattern": "blocks.7.mlp.*", "bits": 8}, ...])',
+    )
+    p.add_argument(
+        "--bump-worst", type=int, default=0, metavar="K",
+        help="diagnose worst-K SNR layers (layerwise analysis at the global "
+        "config) and re-quantize them at --bump-bits",
+    )
+    p.add_argument("--bump-bits", type=int, default=8)
     # data
     p.add_argument("--sbd-dir", default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -77,11 +89,17 @@ def main(argv=None):
     from sam_quantization_tpu.models import build_sam, sam as sam_lib
     from sam_quantization_tpu.models.configs import CONFIGS
     from sam_quantization_tpu.quant import artifacts, gptq, sequential
+    from sam_quantization_tpu.quant.overrides import QuantOverrides
 
     cfg = CONFIGS[args.model]
     model = build_sam.sam_model_registry[args.model](checkpoint=args.checkpoint)
     ecfg = cfg.image_encoder
     img_size = ecfg.img_size
+
+    overrides = None
+    if args.overrides:
+        with open(args.overrides) as f:
+            overrides = QuantOverrides.from_json(f.read())
 
     t0 = time.time()
     if args.method == "fq":
@@ -96,13 +114,16 @@ def main(argv=None):
             sam_lib.preprocess(model, b)
             for b in iter_calib_images(args, img_size)
         ][: args.calib_iter]
-        qparams = calibrate_encoder(model.image_encoder, ecfg, fqcfg, batches)
+        qparams = calibrate_encoder(
+            model.image_encoder, ecfg, fqcfg, batches, overrides=overrides
+        )
         enc = fq_quantize_weights(model.image_encoder, fqcfg)
         quant_config = {
             "method": "fq",
             "ptf": args.ptf,
             "lis": args.lis,
             "quant_method": args.quant_method,
+            "overrides": overrides.to_json() if overrides else None,
         }
         if args.save:
             import numpy as np
@@ -125,15 +146,36 @@ def main(argv=None):
             percdamp=args.percdamp,
         )
         if args.method == "rtn" or args.nearest:
-            enc = sequential.rtn_quantize_encoder(model.image_encoder, qcfg)
+            enc = sequential.rtn_quantize_encoder(
+                model.image_encoder, qcfg, overrides=overrides
+            )
             losses = {}
         else:
             batches = [
                 sam_lib.preprocess(model, b) for b in iter_calib_images(args, img_size)
             ]
+            if args.bump_worst > 0:
+                # diagnose → act: quantize once at the global config, rank ops
+                # by layerwise SNR, bump the worst K (analysis.py feeding the
+                # reference's per-op PPQ decisions)
+                from sam_quantization_tpu.quant.analysis import layerwise_error_analyse
+
+                probe = sequential.rtn_quantize_encoder(model.image_encoder, qcfg)
+                snrs = layerwise_error_analyse(
+                    model.image_encoder, probe, ecfg, batches[:2]
+                )
+                bump = QuantOverrides.bump_worst_snr(
+                    snrs, args.bump_worst, bits=args.bump_bits
+                )
+                overrides = QuantOverrides(
+                    (overrides.rules if overrides else []) + bump.rules
+                )
+                print(f"bumping worst-{args.bump_worst} SNR ops to "
+                      f"{args.bump_bits}-bit: {[p for p, _ in bump.rules]}")
             enc, losses = sequential.gptq_quantize_encoder(
                 model.image_encoder, ecfg, batches, qcfg,
                 true_sequential=args.true_sequential, verbose=True,
+                overrides=overrides,
             )
         quant_config = {
             "method": "rtn" if (args.method == "rtn" or args.nearest) else "gptq",
@@ -141,6 +183,7 @@ def main(argv=None):
             "groupsize": args.groupsize,
             "sym": args.sym,
             "act_order": args.act_order,
+            "overrides": overrides.to_json() if overrides else None,
             "losses": {k: float(v) for k, v in losses.items()},
         }
         if args.save:

@@ -326,12 +326,26 @@ def embed(p: dict, x: jax.Array, cfg: ImageEncoderConfig, ctx=NULL_CTX) -> jax.A
 
 def neck(p: dict, x: jax.Array, cfg: ImageEncoderConfig, ctx=NULL_CTX) -> jax.Array:
     """1×1 conv → LN2d → 3×3 conv → LN2d (ref image_encoder.py:88-104).
-    NHWC in, NHWC out (channels-last; callers convert if they need NCHW)."""
+    NHWC in, NHWC out (channels-last; callers convert if they need NCHW).
+
+    Both LN2ds route through ``ctx.layer_norm`` with in/out observation
+    points, so FQ can run them as integer LayerNorms — the counterpart of
+    the reference's ``QIntLayerNorm2D`` (fq_vit/models/sam/common.py:91-148),
+    which that fork ships short-circuited to FP. In NHWC the channel LN is
+    just a last-axis LN, so the same int-LN kernel serves 1D and 2D."""
     x = ctx.conv2d("neck.conv1", p["neck"]["conv1"], x, stride=1, padding=0)
-    x = F.layer_norm_2d(p["neck"]["ln1"], x, cfg.ln_eps)
+    x = ctx.act("neck.qact_ln1_in", x, ln_input=True)
+    x = ctx.layer_norm(
+        "neck.ln1", p["neck"]["ln1"], x, cfg.ln_eps,
+        in_path="neck.qact_ln1_in", out_path="neck.qact1",
+    )
     x = ctx.act("neck.qact1", x)
     x = ctx.conv2d("neck.conv2", p["neck"]["conv2"], x, stride=1, padding=1)
-    x = F.layer_norm_2d(p["neck"]["ln2"], x, cfg.ln_eps)
+    x = ctx.act("neck.qact_ln2_in", x, ln_input=True)
+    x = ctx.layer_norm(
+        "neck.ln2", p["neck"]["ln2"], x, cfg.ln_eps,
+        in_path="neck.qact_ln2_in", out_path="neck.qact2",
+    )
     x = ctx.act("neck.qact2", x)
     return x
 
@@ -359,6 +373,7 @@ def apply(
         and period is not None
         and type(ctx) is type(NULL_CTX)
         and cfg.depth // period >= 2
+        and _blocks_homogeneous(p["blocks"], period)
     )
     if use_scan:
         x = _apply_blocks_scanned(p, x, cfg, period, attn_impl)
@@ -411,6 +426,19 @@ def _superblock_period(cfg: ImageEncoderConfig):
     if all(gi == (k + 1) * period - 1 for k, gi in enumerate(g)):
         return period
     return None
+
+
+def _blocks_homogeneous(blocks, period: int) -> bool:
+    """Scanned stacking needs every same-slot block to share one pytree
+    structure (incl. static metadata like PackedLinear bits). Mixed-precision
+    overrides break this — those models run the unrolled loop instead."""
+    ref_win = jax.tree_util.tree_structure(blocks[0])
+    ref_glob = jax.tree_util.tree_structure(blocks[period - 1])
+    for i, blk in enumerate(blocks):
+        ref = ref_glob if (i + 1) % period == 0 else ref_win
+        if jax.tree_util.tree_structure(blk) != ref:
+            return False
+    return True
 
 
 def _apply_blocks_scanned(p, x, cfg, period, attn_impl):

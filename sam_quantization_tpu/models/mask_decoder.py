@@ -105,7 +105,15 @@ def predict_masks(
     src = src.reshape(B, h, w, c)
     up = p["output_upscaling"]
     x = ctx.conv_transpose2d("mask_decoder.convt1", up["convt1"], src, stride=2)
-    x = F.layer_norm_2d(up["ln"], x, cfg.ln_eps)
+    # upscaling LN2d through the ctx hook (QIntLayerNorm2D counterpart,
+    # fq_vit/models/sam/common.py:91-148) — channels-last makes it a plain
+    # last-axis integer LN
+    x = ctx.act("mask_decoder.qact_up_ln_in", x, ln_input=True)
+    x = ctx.layer_norm(
+        "mask_decoder.up_ln", up["ln"], x, cfg.ln_eps,
+        in_path="mask_decoder.qact_up_ln_in", out_path="mask_decoder.qact_up_ln",
+    )
+    x = ctx.act("mask_decoder.qact_up_ln", x)
     x = F.gelu(x)
     x = ctx.act("mask_decoder.qact_up1", x)
     x = ctx.conv_transpose2d("mask_decoder.convt2", up["convt2"], x, stride=2)

@@ -105,16 +105,32 @@ def embed_boxes(p: dict, cfg: PromptEncoderConfig, boxes: jax.Array) -> jax.Arra
     return pe
 
 
-def embed_masks(p: dict, cfg: PromptEncoderConfig, masks: jax.Array) -> jax.Array:
-    """(B, 4h, 4w, 1) NHWC mask logits → (B, h, w, embed_dim) (ref :103-106)."""
+def embed_masks(p: dict, cfg: PromptEncoderConfig, masks: jax.Array, ctx=None) -> jax.Array:
+    """(B, 4h, 4w, 1) NHWC mask logits → (B, h, w, embed_dim) (ref :103-106).
+
+    Both downscaling LN2ds route through the ctx hook so FQ's integer LN
+    reaches them (QIntLayerNorm2D counterpart, fq_vit/models/sam/common.py)."""
+    from sam_quantization_tpu.quant.context import NULL_CTX
+
+    ctx = ctx or NULL_CTX
     md = p["mask_downscaling"]
-    x = F.conv2d(md["conv1"], masks, stride=2)
-    x = F.layer_norm_2d(md["ln1"], x, cfg.ln_eps)
+    x = ctx.conv2d("prompt_encoder.mask_conv1", md["conv1"], masks, stride=2)
+    x = ctx.act("prompt_encoder.qact_mln1_in", x, ln_input=True)
+    x = ctx.layer_norm(
+        "prompt_encoder.mask_ln1", md["ln1"], x, cfg.ln_eps,
+        in_path="prompt_encoder.qact_mln1_in", out_path="prompt_encoder.qact_mln1",
+    )
+    x = ctx.act("prompt_encoder.qact_mln1", x)
     x = F.gelu(x)
-    x = F.conv2d(md["conv2"], x, stride=2)
-    x = F.layer_norm_2d(md["ln2"], x, cfg.ln_eps)
+    x = ctx.conv2d("prompt_encoder.mask_conv2", md["conv2"], x, stride=2)
+    x = ctx.act("prompt_encoder.qact_mln2_in", x, ln_input=True)
+    x = ctx.layer_norm(
+        "prompt_encoder.mask_ln2", md["ln2"], x, cfg.ln_eps,
+        in_path="prompt_encoder.qact_mln2_in", out_path="prompt_encoder.qact_mln2",
+    )
+    x = ctx.act("prompt_encoder.qact_mln2", x)
     x = F.gelu(x)
-    return F.conv2d(md["conv3"], x, stride=1)
+    return ctx.conv2d("prompt_encoder.mask_conv3", md["conv3"], x, stride=1)
 
 
 def no_mask_dense(p: dict, cfg: PromptEncoderConfig, batch: int) -> jax.Array:
@@ -131,6 +147,7 @@ def apply(
     boxes: Optional[jax.Array] = None,
     masks: Optional[jax.Array] = None,
     mask_valid: Optional[jax.Array] = None,
+    ctx=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sparse (B, N, d) + dense (B, h, w, d) prompt embeddings.
 
@@ -154,7 +171,7 @@ def apply(
         else jnp.zeros((bs, 0, cfg.embed_dim), jnp.float32)
     )
     if masks is not None:
-        dense = embed_masks(p, cfg, masks)
+        dense = embed_masks(p, cfg, masks, ctx=ctx)
         if mask_valid is not None:
             dense = jnp.where(
                 mask_valid.reshape(-1, 1, 1, 1), dense, no_mask_dense(p, cfg, bs)

@@ -94,6 +94,7 @@ def decode_masks(
         boxes=boxes,
         masks=mask_inputs,
         mask_valid=mask_valid,
+        ctx=ctx,
     )
     image_pe = get_dense_pe(model)
     return mask_decoder.apply(

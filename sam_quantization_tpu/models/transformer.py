@@ -196,8 +196,10 @@ def apply(
     attn_out = attention(
         p["final_attn"], q, k, keys, cfg.num_heads, ctx, f"{path}.final_attn"
     )
-    queries = queries + attn_out
+    queries = ctx.act(f"{path}.qact_res_final", queries + attn_out, ln_input=True)
     queries = ctx.layer_norm(
-        f"{path}.norm_final", p["norm_final"], queries, cfg.ln_eps
+        f"{path}.norm_final", p["norm_final"], queries, cfg.ln_eps,
+        in_path=f"{path}.qact_res_final", out_path=f"{path}.qact_ln_final",
     )
+    queries = ctx.act(f"{path}.qact_ln_final", queries)
     return queries, keys

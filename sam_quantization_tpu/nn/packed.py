@@ -31,7 +31,9 @@ import numpy as np
 
 
 def default_pack_block(in_features: int, bits: int) -> int:
-    per = 32 // bits
+    # bits=3 packs as a 2-bit plane + a 1-bit plane (see pack_int_weights);
+    # the 1-bit plane's 32 values/word is the binding alignment constraint.
+    per = 32 if bits == 3 else 32 // bits
     pb = min(128, in_features)
     while in_features % pb != 0 or pb % per != 0:
         pb //= 2
@@ -46,11 +48,16 @@ class PackedLinear:
     """Quantized linear parameters: ``y = x @ dequant(qweight) + bias``.
 
     Attributes:
-      qweight: int32 (K // per, N) block-planar packed weights.
+      qweight: int32 (K // per, N) block-planar packed weights. For bits=3
+        this is the low 2-bit plane (K/16, N); the high bit lives in
+        ``qweight_hi`` (K/32, N) — together exactly 3 bits/value, the TPU
+        answer to the reference's 32→3-in-uint32 row packing
+        (quant.py:149-183) whose irregular 10⅔-per-word layout has no
+        efficient vector unpack.
       scales: f32 (G, N) per-group, per-output-channel scales.
       zeros: f32 (G, N) zero points on the integer grid (stored as float).
       bias: optional f32 (N,).
-      bits: weight bit width (2, 4, or 8).
+      bits: weight bit width (2, 3, 4, or 8).
       groupsize: K rows per scale group (== K when ungrouped).
       pack_block: rows per planar pack block; divides groupsize.
     """
@@ -59,6 +66,7 @@ class PackedLinear:
     scales: jax.Array
     zeros: jax.Array
     bias: Optional[jax.Array]
+    qweight_hi: Optional[jax.Array] = None  # bits=3 only: 1-bit high plane
     bits: int = dataclasses.field(metadata=dict(static=True), default=4)
     in_features: int = dataclasses.field(metadata=dict(static=True), default=0)
     out_features: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -74,7 +82,8 @@ class PackedLinear:
 
     @property
     def values_per_word(self) -> int:
-        return 32 // self.bits
+        # bits=3: the low (2-bit) plane's word count defines qweight's shape.
+        return 16 if self.bits == 3 else 32 // self.bits
 
     @property
     def num_groups(self) -> int:
@@ -96,20 +105,21 @@ def pack_int_weights(
     """
     int_weight = jnp.asarray(int_weight)
     K, N = int_weight.shape
-    if bits not in (2, 4, 8):
-        raise ValueError(f"packing supports bits in (2, 4, 8); got {bits}")
-    per = 32 // bits
+    if bits not in (1, 2, 3, 4, 8):
+        raise ValueError(f"packing supports bits in (1, 2, 3, 4, 8); got {bits}")
     g = groupsize if groupsize > 0 else K
     pb = default_pack_block(K, bits)
     if g % pb != 0:
         pb = default_pack_block(g, bits)
-    rows_per_plane = pb // per
-    # Block-planar: within each pack block, word row r8 of plane s holds
-    # original in-block row s * rows_per_plane + r8.
-    w = int_weight.astype(jnp.uint32).reshape(K // pb, per, rows_per_plane, N)
-    shifts = (jnp.arange(per, dtype=jnp.uint32) * bits).reshape(1, per, 1, 1)
-    packed = jnp.sum((w << shifts).astype(jnp.uint32), axis=1, dtype=jnp.uint32)
-    packed = jax.lax.bitcast_convert_type(packed, jnp.int32).reshape(K // per, N)
+    if bits == 3:
+        # Split-plane 3-bit: low 2 bits block-planar at 16/word, high bit
+        # block-planar at 32/word — exactly 3K/32 words per column, every
+        # plane unpackable with the same contiguous shift+mask as 2/4/8-bit.
+        packed = _pack_planar(int_weight & 3, 2, pb)
+        packed_hi = _pack_planar(int_weight >> 2, 1, pb)
+    else:
+        packed = _pack_planar(int_weight, bits, pb)
+        packed_hi = None
     scales = jnp.asarray(scales, jnp.float32)
     zeros = jnp.asarray(zeros, jnp.float32)
     if scales.ndim == 1:
@@ -118,6 +128,7 @@ def pack_int_weights(
         zeros = zeros[None, :]
     return PackedLinear(
         qweight=packed,
+        qweight_hi=packed_hi,
         scales=scales,
         zeros=zeros,
         bias=None if bias is None else jnp.asarray(bias, jnp.float32),
@@ -128,6 +139,19 @@ def pack_int_weights(
         pack_block=pb,
         sym=sym,
     )
+
+
+def _pack_planar(int_vals: jax.Array, bits: int, pb: int) -> jax.Array:
+    """Block-planar bit-pack (K, N) grid values in [0, 2^bits) → (K//per, N)
+    int32 words: within each pack block, word row r of plane s holds original
+    in-block row s * rows_per_plane + r."""
+    K, N = int_vals.shape
+    per = 32 // bits
+    rows_per_plane = pb // per
+    w = int_vals.astype(jnp.uint32).reshape(K // pb, per, rows_per_plane, N)
+    shifts = (jnp.arange(per, dtype=jnp.uint32) * bits).reshape(1, per, 1, 1)
+    packed = jnp.sum((w << shifts).astype(jnp.uint32), axis=1, dtype=jnp.uint32)
+    return jax.lax.bitcast_convert_type(packed, jnp.int32).reshape(K // per, N)
 
 
 def unpack_words(qwords: jax.Array, bits: int, pack_block: int) -> jax.Array:
@@ -152,6 +176,10 @@ def unpack_words(qwords: jax.Array, bits: int, pack_block: int) -> jax.Array:
 
 def unpack_to_int(p: PackedLinear) -> jax.Array:
     """Full int32 grid values of shape (K, N)."""
+    if p.bits == 3:
+        low = unpack_words(p.qweight, 2, p.pack_block)
+        hi = unpack_words(p.qweight_hi, 1, p.pack_block)
+        return low | (hi << 2)
     return unpack_words(p.qweight, p.bits, p.pack_block)
 
 

@@ -94,7 +94,9 @@ def _fused_mlp_call(
 def fused_mlp_supported(p1: PackedLinear, p2: PackedLinear) -> bool:
     if not (isinstance(p1, PackedLinear) and isinstance(p2, PackedLinear)):
         return False
-    if p1.bits != p2.bits or p1.act_bits or p2.act_bits:
+    if p1.bits != p2.bits or p1.bits == 3 or p1.act_bits or p2.act_bits:
+        # bits=3 (split-plane) runs through the per-layer fused dequant-matmul
+        # kernel instead; no 3-bit variant of this fused-MLP kernel yet.
         return False
     H = p1.out_features
     return (

@@ -165,10 +165,14 @@ def quant_matmul_xla(x: jax.Array, p: PackedLinear) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _dequant_tile(qw, scales, zeros, bits, pack_block, compute_dtype):
+def _dequant_tile(qw, scales, zeros, bits, pack_block, compute_dtype, qw_hi=None):
     """Unpack + dequantize one (BKp, BN) packed tile → (BK, BN) compute tile."""
-    per = 32 // bits
-    w_int = unpack_words(qw, bits, pack_block)  # (BK, BN) int32
+    if bits == 3:
+        w_int = unpack_words(qw, 2, pack_block) | (
+            unpack_words(qw_hi, 1, pack_block) << 2
+        )
+    else:
+        w_int = unpack_words(qw, bits, pack_block)  # (BK, BN) int32
     BK, BN = w_int.shape
     G = scales.shape[0]
     wf = w_int.astype(jnp.float32)
@@ -191,6 +195,27 @@ def _qmm_kernel(
     # so no sublane-dynamic slicing is needed (Mosaic can't prove alignment
     # for thin row slices).
     w = _dequant_tile(qw_ref[:], s_ref[0], z_ref[0], bits, pack_block, x_ref.dtype)
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _qmm_kernel3(
+    x_ref, qw_ref, qwhi_ref, s_ref, z_ref, o_ref, acc_ref, *, pack_block,
+    groups_per_bk,
+):
+    """bits=3 variant: split-plane weights (2-bit plane + 1-bit plane)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = _dequant_tile(
+        qw_ref[:], s_ref[0], z_ref[0], 3, pack_block, x_ref.dtype, qwhi_ref[:]
+    )
     acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
 
     @pl.when(k == pl.num_programs(2) - 1)
@@ -228,7 +253,12 @@ def _qmm_a8_kernel(
     xq = x_ref[:]  # (BM, BK) int8
     scales = s_ref[0]  # (groups_per_bk, BN) f32
     zeros = z_ref[0]
-    w8 = w_int.astype(jnp.int8)  # grid values < 256 fit
+    # Grid values span [0, 2^bits). For bits=8 that exceeds int8; shift the
+    # grid down by 128 and fold the shift into the zero-point correction
+    # (xq @ (w-128) - (z-128)·rowsum == xq @ w - z·rowsum).
+    off = 128 if bits == 8 else 0
+    w8 = (w_int - off).astype(jnp.int8)
+    zeros = zeros - off
     acc = acc_ref[:]
     for g in range(groups_per_bk):
         xg = xq[:, g * gs : (g + 1) * gs]
@@ -379,6 +409,10 @@ def _qmm_a8_sym_call(
 
 
 def quant_matmul_a8_pallas(x: jax.Array, p: PackedLinear) -> jax.Array:
+    if p.bits == 3:
+        # Split-plane 3-bit has no in-kernel A8 variant; the native int8-MXU
+        # path (sym) / XLA simulation (asym) unpack via unpack_to_int.
+        return quant_matmul_a8_sym_native(x, p) if p.sym else quant_matmul_a8_xla(x, p)
     if p.sym:
         return _quant_matmul_a8_sym(x, p)
     return _quant_matmul_a8_asym(x, p)
@@ -454,6 +488,7 @@ def _qmm_call(
     qweight,
     scales,
     zeros,
+    qweight_hi=None,
     *,
     bits,
     groupsize,
@@ -465,24 +500,38 @@ def _qmm_call(
 ):
     M, K = x.shape
     N = qweight.shape[1]
-    per = 32 // bits
+    per = 16 if bits == 3 else 32 // bits
     grid = (pl.cdiv(M, block_m), pl.cdiv(N, block_n), K // block_k)
     groups_per_bk = max(block_k // groupsize, 1)
 
-    kernel = functools.partial(
-        _qmm_kernel, bits=bits, pack_block=pack_block, groups_per_bk=groups_per_bk
-    )
+    in_specs = [
+        pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+        pl.BlockSpec((block_k // per, block_n), lambda i, j, k: (k, j)),
+    ]
+    operands = [x, qweight]
+    if bits == 3:
+        kernel = functools.partial(
+            _qmm_kernel3, pack_block=pack_block, groups_per_bk=groups_per_bk
+        )
+        in_specs.append(pl.BlockSpec((block_k // 32, block_n), lambda i, j, k: (k, j)))
+        operands.append(qweight_hi)
+        weight_words = (K // 16 + K // 32) * N
+    else:
+        kernel = functools.partial(
+            _qmm_kernel, bits=bits, pack_block=pack_block, groups_per_bk=groups_per_bk
+        )
+        weight_words = (K // per) * N
+    in_specs += [
+        pl.BlockSpec((1, scales.shape[1], block_n), lambda i, j, k: (k, 0, j)),
+        pl.BlockSpec((1, zeros.shape[1], block_n), lambda i, j, k: (k, 0, j)),
+    ]
+    operands += [scales, zeros]
     flops = 2 * M * N * K
-    bytes_accessed = M * K * x.dtype.itemsize + (K // per) * N * 4 + M * N * x.dtype.itemsize
+    bytes_accessed = M * K * x.dtype.itemsize + weight_words * 4 + M * N * x.dtype.itemsize
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
-            pl.BlockSpec((block_k // per, block_n), lambda i, j, k: (k, j)),
-            pl.BlockSpec((1, scales.shape[1], block_n), lambda i, j, k: (k, 0, j)),
-            pl.BlockSpec((1, zeros.shape[1], block_n), lambda i, j, k: (k, 0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
@@ -493,7 +542,7 @@ def _qmm_call(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(x, qweight, scales, zeros)
+    )(*operands)
 
 
 def pick_blocks(M, N, K, groupsize, pack_block, bits=4):
@@ -540,6 +589,7 @@ def quant_matmul_pallas(x: jax.Array, p: PackedLinear) -> jax.Array:
         p.qweight,
         scales,
         zeros,
+        p.qweight_hi,
         bits=p.bits,
         groupsize=min(p.groupsize, block_k),
         pack_block=p.pack_block,

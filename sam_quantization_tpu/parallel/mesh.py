@@ -52,6 +52,7 @@ def _linear_spec(p, out_axis: Optional[str], in_axis: Optional[str]):
     if isinstance(p, PackedLinear):
         return PackedLinear(
             qweight=P(in_axis, out_axis),
+            qweight_hi=None if p.qweight_hi is None else P(in_axis, out_axis),
             scales=P(None, out_axis),
             zeros=P(None, out_axis),
             bias=None if p.bias is None else P(out_axis),

@@ -34,6 +34,8 @@ def _flatten(tree: Any, prefix: str, out: Dict[str, np.ndarray], meta: Dict[str,
             "sym": tree.sym,
         }
         out[f"{prefix}.qweight"] = np.asarray(tree.qweight)
+        if tree.qweight_hi is not None:
+            out[f"{prefix}.qweight_hi"] = np.asarray(tree.qweight_hi)
         out[f"{prefix}.scales"] = np.asarray(tree.scales)
         out[f"{prefix}.zeros"] = np.asarray(tree.zeros)
         if tree.bias is not None:
@@ -77,7 +79,7 @@ def _unflatten(arrays: Dict[str, np.ndarray], meta: Dict[str, Any]) -> Any:
     for key, arr in arrays.items():
         parts = key.split(".")
         # packed tensors handled below
-        if any(key.startswith(p + ".") and key[len(p) + 1:] in ("qweight", "scales", "zeros", "bias") for p in packed_prefixes):
+        if any(key.startswith(p + ".") and key[len(p) + 1:] in ("qweight", "qweight_hi", "scales", "zeros", "bias") for p in packed_prefixes):
             continue
         parent = ensure(root, parts[:-1])
         parent[parts[-1]] = jnp.asarray(arr)
@@ -88,6 +90,10 @@ def _unflatten(arrays: Dict[str, np.ndarray], meta: Dict[str, Any]) -> Any:
         parent = ensure(root, parts[:-1])
         parent[parts[-1]] = PackedLinear(
             qweight=jnp.asarray(arrays[f"{prefix}.qweight"]),
+            qweight_hi=(
+                jnp.asarray(arrays[f"{prefix}.qweight_hi"])
+                if f"{prefix}.qweight_hi" in arrays else None
+            ),
             scales=jnp.asarray(arrays[f"{prefix}.scales"]),
             zeros=jnp.asarray(arrays[f"{prefix}.zeros"]),
             bias=(

@@ -72,24 +72,36 @@ class FQCtx(NullCtx):
         cfg: FQConfig,
         state: Optional[ObserverStates] = None,
         qparams: Optional[QParams] = None,
+        overrides=None,  # QuantOverrides: per-point observer/bits/skip
     ):
         assert mode in ("calib", "last_calib", "quant")
         self.mode = mode
         self.cfg = cfg
         self.state = state or {}
         self.qparams = qparams or {}
+        self.overrides = overrides
         self.updates: ObserverStates = {}
         self.new_qparams: QParams = {}
+        # quant mode: records per-LN execution path ("int" | "fp") so tests
+        # can assert no LayerNorm silently falls back to FP when int_norm=True
+        self.ln_modes: Dict[str, str] = {}
 
     # -- activation hook ---------------------------------------------------
 
     def act(self, path: str, x, ln_input: bool = False):
         cfg = self.cfg
+        ov = self.overrides.match(path) if self.overrides else None
+        if ov is not None and ov.skip:
+            return x  # excluded observation point: stays FP end to end
         if ln_input and cfg.int_norm:
             method, channel_wise = cfg.observer_a_ln, True
         else:
             method, channel_wise = cfg.observer_a, False
+        if ov is not None and ov.observer and not (ln_input and cfg.int_norm):
+            method = ov.observer
         bt = cfg.bit_a
+        if ov is not None and ov.bits is not None:
+            bt = BIT_TYPE_DICT[f"uint{ov.bits}" if not bt.signed else f"int{ov.bits}"]
         if self.mode in ("calib", "last_calib"):
             st = self.state.get(path)
             if st is None:
@@ -100,6 +112,11 @@ class FQCtx(NullCtx):
                 self.new_qparams[path] = observers.get_quantization_params(
                     st, method, bt, channel_wise, inputs=x
                 )
+            return x
+        if path not in self.qparams:
+            # Observation point never executed during calibration (e.g. the
+            # mask-prompt path under point-only calibration): leave FP rather
+            # than quantize with garbage params.
             return x
         scale, zero = self.qparams[path]
         return quantizers.uniform_fake_quant(x, scale, zero, bt)
@@ -149,6 +166,7 @@ class FQCtx(NullCtx):
             and in_path in self.qparams
             and out_path in self.qparams
         ):
+            self.ln_modes[path] = "int"
             return int_ops.int_layer_norm(
                 x,
                 p["w"].astype(jnp.float32),
@@ -157,6 +175,8 @@ class FQCtx(NullCtx):
                 out_scale=self.qparams[out_path][0],
                 in_scale_expand=in_scale_expand,
             )
+        if self.mode == "quant":
+            self.ln_modes[path] = "fp"
         return F.layer_norm(p, x, eps)
 
 
@@ -201,17 +221,19 @@ def calibrate_encoder(
     ecfg: ImageEncoderConfig,
     fqcfg: FQConfig,
     batches: Iterable[jax.Array],
+    overrides=None,
 ) -> QParams:
     """Stream calibration batches (preprocessed NHWC images) through the
     encoder; final batch finalizes quantization params.
 
     Counterpart of fq_vit/test_quant.py:276-292's calibrate loop + the
-    model_open_last_calibrate step.
+    model_open_last_calibrate step. ``overrides``: per-point
+    observer/bits/skip rules (quant.overrides.QuantOverrides).
     """
 
     @functools.partial(jax.jit, static_argnames=("mode",))
     def step(params, x, state, mode):
-        ctx = FQCtx(mode, fqcfg, state)
+        ctx = FQCtx(mode, fqcfg, state, overrides=overrides)
         image_encoder.apply(params, x, ecfg, ctx, attn_impl="xla")
         return {**state, **ctx.updates}, ctx.new_qparams
 
@@ -225,13 +247,14 @@ def calibrate_encoder(
 
 
 def quantize_encoder(
-    params, ecfg: ImageEncoderConfig, fqcfg: FQConfig, qparams: QParams
+    params, ecfg: ImageEncoderConfig, fqcfg: FQConfig, qparams: QParams,
+    overrides=None,
 ):
     """Return (quantized params, quant ctx factory) for inference."""
     qp = fq_quantize_weights(params, fqcfg)
 
     def make_ctx():
-        return FQCtx("quant", fqcfg, qparams=qparams)
+        return FQCtx("quant", fqcfg, qparams=qparams, overrides=overrides)
 
     return qp, make_ctx
 
@@ -262,8 +285,14 @@ def calibrate_sam(
         ctx = FQCtx(mode, fqcfg, state)
         emb = sam_lib.encode_image(model, sam_lib.preprocess(model, x), ctx,
                                    attn_impl="xla")
+        # The reference calibrates with masks=low_res_masks (zeros before the
+        # first click, fq_vit/test_quant.py:182-187), so the mask-downscaling
+        # observation points see the prompt path too.
+        h, w = model.config.prompt_encoder.image_embedding_size
+        zero_mask = jnp.zeros((x.shape[0], 4 * h, 4 * w, 1), jnp.float32)
         sam_lib.decode_masks(
-            model, emb, points=(coords, labels), multimask_output=False, ctx=ctx
+            model, emb, points=(coords, labels), mask_inputs=zero_mask,
+            multimask_output=False, ctx=ctx,
         )
         return {**state, **ctx.updates}, ctx.new_qparams
 

@@ -55,6 +55,8 @@ class GPTQResult(NamedTuple):
     scales: jax.Array  # (N, G)
     zeros: jax.Array  # (N, G)
     loss: jax.Array  # scalar Σ losses (reference's `error`, gptq.py:153)
+    g_idx: jax.Array  # (K,) group index of each (original-order) column; with
+    #   actorder groups follow the permuted order, so this is NOT arange(K)//g
 
 
 def find_params(
@@ -215,21 +217,25 @@ def gptq_quantize_matrix(
     scales = jnp.moveaxis(scales_b, 0, 1)[:, ::blocks_per_group]  # (N, G)
     zeros = jnp.moveaxis(zeros_b, 0, 1)[:, ::blocks_per_group]
 
+    g_idx = jnp.arange(K, dtype=jnp.int32) // g
     if actorder:
         q_int = q_int[:, invperm]
-        # NOTE: with actorder, groups follow the permuted order; packing must
-        # use the permuted layout. We keep g == K (single group) with
-        # actorder for packable artifacts, matching common GPTQ usage.
+        # Groups were formed in the *permuted* column order (the reference
+        # dequantizes in the permuted domain before invperm, gptq.py:127-141):
+        # original column k sat at permuted position invperm[k], so its group
+        # is invperm[k] // g. Consumers must gather scales/zeros via g_idx.
+        g_idx = (invperm // g).astype(jnp.int32)
 
     return GPTQResult(
-        q_int=q_int.astype(jnp.int32), scales=scales, zeros=zeros, loss=total_loss
+        q_int=q_int.astype(jnp.int32), scales=scales, zeros=zeros,
+        loss=total_loss, g_idx=g_idx,
     )
 
 
 def reconstruct(res: GPTQResult, groupsize: int, K: int) -> jax.Array:
-    """Dequantized (N, K) weights from a solver result."""
-    N = res.q_int.shape[0]
-    g = groupsize if groupsize > 0 else K
-    q = res.q_int.astype(jnp.float32).reshape(N, K // g, g)
-    w = (q - res.zeros[:, :, None]) * res.scales[:, :, None]
-    return w.reshape(N, K)
+    """Dequantized (N, K) weights from a solver result (group params gathered
+    per column via g_idx, so actorder+groupsize layouts dequantize correctly)."""
+    q = res.q_int.astype(jnp.float32)
+    scales = res.scales[:, res.g_idx]  # (N, K)
+    zeros = res.zeros[:, res.g_idx]
+    return (q - zeros) * scales

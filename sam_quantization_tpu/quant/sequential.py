@@ -30,6 +30,7 @@ from sam_quantization_tpu.nn import functional as F
 from sam_quantization_tpu.nn.packed import PackedLinear, pack_int_weights
 from sam_quantization_tpu.quant import gptq
 from sam_quantization_tpu.quant.context import NullCtx
+from sam_quantization_tpu.quant.overrides import QuantOverrides
 
 TRUE_SEQUENTIAL_SUBSETS: Sequence[Sequence[str]] = (
     ("attn.qkv",),
@@ -98,7 +99,10 @@ def quantize_linear_gptq(
     )
     loss = float(res.loss)
     bias = lin.get("b")
-    if qcfg.actorder or qcfg.bits not in (2, 4, 8):
+    if qcfg.actorder or qcfg.bits not in (2, 3, 4, 8):
+        # With actorder the integer grid's groups follow the permuted column
+        # order (g_idx); the packed layout wants contiguous groups, so store
+        # the (correctly gathered) dequantized weights instead.
         wq = gptq.reconstruct(res, qcfg.groupsize, K).T.astype(w.dtype)
         out: PackedLinear | dict = {"w": wq} if bias is None else {"w": wq, "b": bias}
     else:
@@ -109,6 +113,30 @@ def quantize_linear_gptq(
     return out, loss
 
 
+def _resolve_qcfg(
+    qcfg: gptq.GPTQConfig, overrides: Optional[QuantOverrides], path: str
+) -> Optional[gptq.GPTQConfig]:
+    """Per-layer config after overrides; None = skip (leave FP).
+
+    The PPQ-analog action path (script/custimized_quant.py:56-147): a
+    diagnosis from quant.analysis can bump worst ops to higher bits or
+    exclude them while the rest of the net quantizes at the global config.
+    """
+    if overrides is None:
+        return qcfg
+    ov = overrides.match(path)
+    if ov is None:
+        return qcfg
+    if ov.skip:
+        return None
+    return dataclasses.replace(
+        qcfg,
+        bits=ov.bits if ov.bits is not None else qcfg.bits,
+        groupsize=ov.groupsize if ov.groupsize is not None else qcfg.groupsize,
+        sym=ov.sym if ov.sym is not None else qcfg.sym,
+    )
+
+
 def gptq_quantize_encoder(
     params: dict,
     ecfg: ImageEncoderConfig,
@@ -116,11 +144,13 @@ def gptq_quantize_encoder(
     qcfg: gptq.GPTQConfig,
     true_sequential: bool = True,
     verbose: bool = False,
+    overrides: Optional[QuantOverrides] = None,
 ) -> tuple[dict, Dict[str, float]]:
     """Quantize every transformer-block linear of the encoder in place.
 
     ``batches``: preprocessed (B, img, img, 3) images. Returns (new params
     tree with PackedLinear leaves, {layer path: reconstruction loss}).
+    ``overrides``: per-op mixed-precision / exclusion rules.
     """
     params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy tree
 
@@ -174,14 +204,19 @@ def gptq_quantize_encoder(
                 for k, v in xtx.items():
                     h_acc[k] = h_acc.get(k, 0.0) + v
             for path in subset:
+                full_path = f"blocks.{i}.{path}"
+                layer_qcfg = _resolve_qcfg(qcfg, overrides, full_path)
+                if layer_qcfg is None:
+                    losses[full_path] = 0.0  # skipped: stays FP
+                    continue
                 # H = (2 / nsamples) Σ xᵀx  (gptq.py:55-60 with tmp=1/batch)
                 h = (2.0 / nbatches) * h_acc[path]
                 lin = _get_linear(block, path)
-                qlin, loss = quantize_linear_gptq(lin, h, qcfg)
+                qlin, loss = quantize_linear_gptq(lin, h, layer_qcfg)
                 _set_linear(block, path, qlin)
-                losses[f"blocks.{i}.{path}"] = loss
+                losses[full_path] = loss
                 if verbose:
-                    print(f"blocks.{i}.{path}: loss={loss:.4f}")
+                    print(f"{full_path}: loss={loss:.4f}")
         # Propagate quantized outputs to the next block (gptq4sam.py:399-412).
         fwd = fwd_fn(ws, i)
         xs = [fwd(block, x) for x in xs]
@@ -189,19 +224,22 @@ def gptq_quantize_encoder(
 
 
 def rtn_quantize_encoder(
-    params: dict, qcfg: gptq.GPTQConfig
+    params: dict, qcfg: gptq.GPTQConfig, overrides: Optional[QuantOverrides] = None
 ) -> dict:
     """Round-to-nearest baseline over all block linears (reference
     ``--nearest`` path, gptq4sam.py:355-367, and main3.py RTN)."""
     from sam_quantization_tpu.nn.packed import quantize_rtn
 
     params = jax.tree_util.tree_map(lambda x: x, params)
-    for block in params["blocks"]:
+    for i, block in enumerate(params["blocks"]):
         for path in ("attn.qkv", "attn.proj", "mlp.lin1", "mlp.lin2"):
+            layer_qcfg = _resolve_qcfg(qcfg, overrides, f"blocks.{i}.{path}")
+            if layer_qcfg is None:
+                continue
             lin = _get_linear(block, path)
             p = quantize_rtn(
-                lin["w"], qcfg.bits, max(qcfg.groupsize, 0), qcfg.sym,
-                bias=lin.get("b"),
+                lin["w"], layer_qcfg.bits, max(layer_qcfg.groupsize, 0),
+                layer_qcfg.sym, bias=lin.get("b"),
             )
             _set_linear(block, path, p)
     return params

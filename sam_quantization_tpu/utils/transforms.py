@@ -28,11 +28,17 @@ class ResizeLongestSide:
         return int(newh + 0.5), int(neww + 0.5)
 
     def apply_image(self, image: np.ndarray) -> np.ndarray:
-        """(H, W, 3) uint8 → resized (h', w', 3) float32."""
+        """(H, W, 3) uint8 → resized (h', w', 3) float32.
+
+        Downscales are antialiased to match the reference's torchvision/PIL
+        resize (ref transforms.py:30-38); plain bilinear would alias and skew
+        cross-implementation quality comparisons.
+        """
         h, w = image.shape[:2]
         newh, neww = self.get_preprocess_shape(h, w, self.target_length)
         out = jax.image.resize(
-            jnp.asarray(image, jnp.float32), (newh, neww, image.shape[2]), "bilinear"
+            jnp.asarray(image, jnp.float32), (newh, neww, image.shape[2]),
+            "bilinear", antialias=(newh < h or neww < w),
         )
         return np.asarray(out)
 

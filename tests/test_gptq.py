@@ -29,6 +29,7 @@ def _make_problem(rng, N=32, K=64, B=8, T=16):
     (-1, False, False),
     (32, False, False),
     (-1, True, False),
+    (32, True, False),  # regression: g_idx gather under actorder (ADVICE r1)
     (-1, False, True),
 ])
 def test_gptq_beats_rtn_on_hessian_norm(rng, groupsize, actorder, sym):
@@ -55,7 +56,9 @@ def test_gptq_beats_rtn_on_hessian_norm(rng, groupsize, actorder, sym):
 
 
 @requires_reference
-@pytest.mark.parametrize("groupsize,actorder", [(-1, False), (32, False), (-1, True)])
+@pytest.mark.parametrize(
+    "groupsize,actorder", [(-1, False), (32, False), (-1, True), (32, True)]
+)
 def test_gptq_matches_reference_solver(rng, groupsize, actorder):
     torch = pytest.importorskip("torch")
     if REFERENCE_DIR not in sys.path:
@@ -101,16 +104,17 @@ def test_gptq_matches_reference_solver(rng, groupsize, actorder):
     assert cos > 0.999, cos
 
 
-def test_gptq_pack_roundtrip_into_kernel(rng):
+@pytest.mark.parametrize("bits", [4, 3])
+def test_gptq_pack_roundtrip_into_kernel(rng, bits):
     """Solver output → pack → fused matmul pipeline consistency."""
     w, xs, H = _make_problem(rng, N=128, K=128)
     res = gptq.gptq_quantize_matrix(
-        jnp.asarray(w), jnp.asarray(H), bits=4, groupsize=64, blocksize=64
+        jnp.asarray(w), jnp.asarray(H), bits=bits, groupsize=64, blocksize=64
     )
     # our packed layout wants (K, N) int grid with (G, N) scales
     p = packed.pack_int_weights(
         np.asarray(res.q_int).T, np.asarray(res.scales).T, np.asarray(res.zeros).T,
-        None, bits=4, groupsize=64,
+        None, bits=bits, groupsize=64,
     )
     wq_kernel = np.asarray(packed.dequantize(p))
     wq_solver = np.asarray(gptq.reconstruct(res, 64, 128)).T

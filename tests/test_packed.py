@@ -9,7 +9,7 @@ from sam_quantization_tpu.nn import packed
 from sam_quantization_tpu.ops import quant_matmul
 
 
-@pytest.mark.parametrize("bits", [2, 4, 8])
+@pytest.mark.parametrize("bits", [2, 3, 4, 8])
 @pytest.mark.parametrize("K,groupsize", [(256, 0), (256, 128), (512, 64), (64, 0)])
 def test_pack_roundtrip(bits, K, groupsize, rng):
     N = 128
@@ -48,6 +48,8 @@ def test_quant_matmul_xla_matches_dense(M, K, N, groupsize, rng):
     (64, 256, 128, 128, 4),
     (100, 512, 256, 0, 4),
     (32, 256, 384, 64, 8),
+    (64, 256, 128, 128, 3),  # split-plane 3-bit (_qmm_kernel3)
+    (32, 512, 256, 0, 3),
 ])
 def test_quant_matmul_pallas_interpret(M, K, N, groupsize, bits, rng):
     """Fused kernel (interpret mode) vs XLA dequant path."""
@@ -84,6 +86,25 @@ def test_quant_matmul_a8(M, K, N, groupsize, rng):
     ref_w4 = np.asarray(quant_matmul.quant_matmul_xla(jnp.asarray(x), p))
     rel = np.linalg.norm(got - ref_w4) / np.linalg.norm(ref_w4)
     assert rel < 0.02, rel
+
+
+def test_quant_matmul_a8_w8_asym(rng):
+    """Regression (ADVICE r1): bits=8 asymmetric grid spans [0,255]; the a8
+    kernel must shift to int8 range instead of wrapping values > 127."""
+    import dataclasses
+
+    M, K, N = 64, 256, 128
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.05 + 0.08  # skewed → asym
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    p = packed.quantize_rtn(jnp.asarray(w), bits=8, groupsize=128, sym=False)
+    p = dataclasses.replace(p, act_bits=8)
+    want = np.asarray(quant_matmul.quant_matmul_a8_xla(jnp.asarray(x), p))
+    quant_matmul.INTERPRET = True
+    try:
+        got = np.asarray(quant_matmul.quant_matmul_a8_pallas(jnp.asarray(x), p))
+    finally:
+        quant_matmul.INTERPRET = False
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
 def test_with_act_bits_transform():

@@ -199,15 +199,31 @@ def test_fq_full_sam_calibration(rng):
     # decoder-side observation points collected
     assert any(k.startswith("mask_decoder.") for k in qp)
     assert any("transformer" in k for k in qp)
+    # mask-prompt downscaling path calibrated too (reference feeds
+    # masks=zeros during calibration, fq_vit/test_quant.py:182-187)
+    assert "prompt_encoder.qact_mln1_in" in qp
     qmodel, make_ctx = quantize_sam(model, fqcfg, qp)
     ctx = make_ctx()
     emb = sam_lib.encode_image(qmodel, sam_lib.preprocess(qmodel, jnp.asarray(samples[0][0])), ctx, attn_impl="xla")
     coords = jnp.zeros((1, 4, 2), jnp.float32).at[0, 0].set(jnp.array([50.0, 60.0]))
     labels = -jnp.ones((1, 4), jnp.float32).at[0, 0].set(1.0)
+    esize = VIT_TINY.prompt_encoder.image_embedding_size
+    zero_mask = jnp.zeros((1, 4 * esize[0], 4 * esize[1], 1), jnp.float32)
     low, iou = sam_lib.decode_masks(qmodel, emb, points=(coords, labels),
+                                    mask_inputs=zero_mask,
                                     multimask_output=False, ctx=ctx)
     assert np.isfinite(np.asarray(low)).all()
     assert np.isfinite(np.asarray(iou)).all()
+    # with int_norm=True no LayerNorm anywhere (encoder blocks, neck,
+    # decoder transformer incl. norm_final, upscale LN2d, mask-downscale
+    # LN2ds) may silently run FP (VERDICT r1 item 5)
+    assert ctx.ln_modes, "no LN hooks executed?"
+    fp_lns = sorted(k for k, v in ctx.ln_modes.items() if v != "int")
+    assert not fp_lns, fp_lns
+    assert any(k.startswith("neck.") for k in ctx.ln_modes)
+    assert any("norm_final" in k for k in ctx.ln_modes)
+    assert any(k.startswith("mask_decoder.up_ln") for k in ctx.ln_modes)
+    assert any(k.startswith("prompt_encoder.mask_ln") for k in ctx.ln_modes)
 
 
 def test_swin_classifier_fq(rng):
