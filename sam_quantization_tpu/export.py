@@ -123,3 +123,57 @@ def load_exported(path: str):
     with open(path, "rb") as f:
         exported = jexport.deserialize(f.read())
     return exported.call
+
+
+def export_decoder_savedmodel(
+    model: sam_lib.Sam, directory: str, num_points: int = 8
+) -> dict:
+    """Export the decoder as a TF SavedModel consumable OUTSIDE Python.
+
+    This is the counterpart of the reference's external-runtime artifacts
+    (TRT engines / PPLNN onnx, trt_infer.py:142-313, ppl_infer.py:11-152):
+    the jax program converts via jax2tf into a SavedModel that the TF C/C++
+    runtime loads with zero Python — demonstrated by csrc/savedmodel_runner.cpp.
+
+    Returns a manifest {inputs: {key: tensor_name}, outputs: ...} also
+    written as ``manifest.txt`` (one line per tensor: kind key tensor_name)
+    for the C++ runner.
+    """
+    import os
+
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    module = SamDecoderModule(model)
+    h, w = model.config.prompt_encoder.image_embedding_size
+    d = model.config.prompt_encoder.embed_dim
+
+    f = jax2tf.convert(jax.jit(module.__call__), with_gradient=False)
+    tfm = tf.Module()
+    tfm.f = tf.function(
+        f,
+        input_signature=[
+            tf.TensorSpec((1, h, w, d), tf.float32, name="image_embeddings"),
+            tf.TensorSpec((1, num_points, 2), tf.float32, name="point_coords"),
+            tf.TensorSpec((1, num_points), tf.float32, name="point_labels"),
+            tf.TensorSpec((1, 4 * h, 4 * w, 1), tf.float32, name="mask_input"),
+            tf.TensorSpec((1,), tf.float32, name="has_mask_input"),
+        ],
+    )
+    cf = tfm.f.get_concrete_function()
+    tf.saved_model.save(tfm, directory, signatures={"serving_default": cf})
+
+    from tensorflow.python.tools import saved_model_utils
+
+    mg = saved_model_utils.get_meta_graph_def(directory, "serve")
+    sig = mg.signature_def["serving_default"]
+    manifest = {
+        "inputs": {k: v.name for k, v in sig.inputs.items()},
+        "outputs": {k: v.name for k, v in sig.outputs.items()},
+    }
+    with open(os.path.join(directory, "manifest.txt"), "w") as fh:
+        for k, name in manifest["inputs"].items():
+            fh.write(f"in {k} {name}\n")
+        for k, name in manifest["outputs"].items():
+            fh.write(f"out {k} {name}\n")
+    return manifest

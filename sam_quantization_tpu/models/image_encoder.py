@@ -199,6 +199,36 @@ def attention(
     q, k, v = qkv[0], qkv[1], qkv[2]  # (B, nh, L, hd)
     q2 = q.reshape(B * nh, L, hd)
 
+    # Sequence-parallel global attention when a mesh is active (SURVEY §5's
+    # long-context mapping; opt in with parallel.sp_attention.sequence_parallel)
+    sp = None
+    if type(ctx) is type(NULL_CTX):
+        from sam_quantization_tpu.parallel import sp_attention as sp_mod
+
+        sp = sp_mod.active_sp(L)
+    if sp is not None:
+        mesh, axis = sp
+        from sam_quantization_tpu.parallel import sp_attention as sp_mod
+
+        rel_h = rel_w = None
+        if cfg.use_rel_pos:
+            rel_h, rel_w = decomposed_rel_pos_tiles(
+                q2, p["rel_pos_h"], p["rel_pos_w"], (H, W), (H, W)
+            )
+            rel_h = rel_h.reshape(B, nh, L, H)
+            rel_w = rel_w.reshape(B, nh, L, W)
+        out = sp_mod.sp_attention(
+            q.reshape(B, nh, L, hd),
+            k.reshape(B, nh, L, hd),
+            v.reshape(B, nh, L, hd),
+            rel_h, rel_w, scale=hd**-0.5, mesh=mesh, axis=axis,
+        )
+        x = out.reshape(B, nh, H, W, hd).transpose(0, 2, 3, 1, 4).reshape(B, H, W, C)
+        x = ctx.act(f"{path}.qact2", x)
+        x = ctx.linear(f"{path}.proj", p["proj"], x)
+        x = ctx.act(f"{path}.qact3", x)
+        return x
+
     use_flash = attn_impl == "flash" or (
         attn_impl == "auto"
         and type(ctx) is type(NULL_CTX)  # FP/GPTQ only; FQ needs the hooks

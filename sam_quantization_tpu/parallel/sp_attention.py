@@ -15,13 +15,45 @@ precomputes them per tile (gptq_triton/fused_attention.py:122-125).
 
 from __future__ import annotations
 
+import contextlib
 import functools
-from typing import Optional
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
+
+# ---------------------------------------------------------------------------
+# Active-mesh context: the encoder's production call site. The model code
+# (models/image_encoder.attention) consults this instead of taking a mesh
+# argument, so the same apply() serves single-chip and sequence-parallel
+# execution — ``with sequence_parallel(mesh): encoder.apply(...)``.
+# ---------------------------------------------------------------------------
+
+_ACTIVE: List[Tuple[Mesh, str, int]] = []
+
+
+@contextlib.contextmanager
+def sequence_parallel(mesh: Mesh, axis: str = "tp", min_len: int = 1024):
+    """Route global-attention blocks through :func:`sp_attention` inside the
+    with-body. ``min_len``: only sequences at least this long shard (the
+    windowed blocks' tiny L would pay collective latency for nothing)."""
+    _ACTIVE.append((mesh, axis, min_len))
+    try:
+        yield
+    finally:
+        _ACTIVE.pop()
+
+
+def active_sp(seq_len: int) -> Optional[Tuple[Mesh, str]]:
+    """The (mesh, axis) to use for a global-attention call, or None."""
+    if not _ACTIVE:
+        return None
+    mesh, axis, min_len = _ACTIVE[-1]
+    if seq_len < min_len or seq_len % mesh.shape[axis] != 0:
+        return None
+    return mesh, axis
 
 
 def sp_attention(

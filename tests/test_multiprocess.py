@@ -35,6 +35,89 @@ print(f"worker {pid} OK", flush=True)
 """
 
 
+GSPMD_WORKER = r"""
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+coordinator, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(
+    coordinator_address=coordinator, num_processes=2, process_id=pid
+)
+assert len(jax.devices()) == 8, jax.devices()
+assert len(jax.local_devices()) == 4
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sam_quantization_tpu.models import image_encoder, sam as sam_lib
+from sam_quantization_tpu.models.configs import VIT_TINY
+from sam_quantization_tpu.parallel import mesh as mesh_lib
+from sam_quantization_tpu.train import trainer
+
+ecfg = VIT_TINY.image_encoder
+params = image_encoder.init(jax.random.PRNGKey(0), ecfg)
+rng = np.random.default_rng(7)
+x_host = rng.normal(size=(2, ecfg.img_size, ecfg.img_size, 3)).astype(np.float32)
+
+# single-process reference, computed identically on both processes
+ref = np.asarray(
+    jax.jit(lambda p, x: image_encoder.apply(p, x, ecfg, attn_impl="xla"))(
+        params, jnp.asarray(x_host)
+    )
+)
+
+# sharded run: dp=2 x tp=4 mesh spanning both processes; GSPMD inserts the
+# cross-process collectives (the seam single-process tests never exercise)
+mesh = mesh_lib.make_mesh(8, tp=4)
+specs = mesh_lib.encoder_param_specs(params)
+sparams = jax.device_put(params, jax.tree_util.tree_map(
+    lambda s: NamedSharding(mesh, s), specs,
+    is_leaf=lambda t: isinstance(t, P)))
+x_sh = jax.device_put(jnp.asarray(x_host), NamedSharding(mesh, P("dp")))
+
+fwd = jax.jit(
+    lambda p, x: image_encoder.apply(p, x, ecfg, attn_impl="xla"),
+    out_shardings=NamedSharding(mesh, P()),
+)
+out = fwd(sparams, x_sh)
+out_np = np.asarray(out)
+err = np.abs(out_np - ref).max() / (np.abs(ref).max() + 1e-9)
+assert err < 2e-3, f"sharded forward mismatch: {err}"
+
+# one sharded train step over the full Sam (dp x tp), numerics finite and
+# identical across processes
+model = sam_lib.init(jax.random.PRNGKey(0), VIT_TINY)
+mspecs = mesh_lib.sam_param_specs(model)
+model = mesh_lib.shard_params(model, mesh, mspecs)
+tcfg = trainer.TrainConfig(num_clicks=2)
+opt = trainer.make_optimizer(tcfg)
+opt_state = opt.init(model)
+step = jax.jit(trainer.make_train_step(tcfg, opt))
+images = jax.device_put(jnp.asarray(x_host), NamedSharding(mesh, P("dp")))
+gts = jax.device_put(
+    (jnp.arange(2 * ecfg.img_size**2).reshape(2, ecfg.img_size, ecfg.img_size) % 7 < 3
+     ).astype(jnp.float32),
+    NamedSharding(mesh, P("dp")),
+)
+model, opt_state, aux = step(model, opt_state, images, gts, jax.random.PRNGKey(0))
+loss = float(aux["loss"])
+assert np.isfinite(loss), loss
+
+from sam_quantization_tpu.parallel import distributed as D
+agreed = D.reduce_loss_dict({"loss": loss})
+assert abs(agreed["loss"] - loss) < 1e-5, (agreed, loss)
+D.barrier("end")
+print(f"gspmd worker {pid} OK loss={loss:.4f} err={err:.2e}", flush=True)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -43,12 +126,12 @@ def _free_port():
     return port
 
 
-def test_two_process_distributed_world():
+def _run_two_workers(script: str, ok_marker: str, timeout: int = 240):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", WORKER, coord, str(pid)],
+            [sys.executable, "-c", script, coord, str(pid)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             cwd=".",
         )
@@ -57,11 +140,23 @@ def test_two_process_distributed_world():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             p.kill()
             pytest.fail("distributed worker timed out")
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-2000:]}"
-        assert f"worker {pid} OK" in out
+        assert ok_marker.format(pid=pid) in out
+
+
+def test_two_process_distributed_world():
+    _run_two_workers(WORKER, "worker {pid} OK")
+
+
+def test_two_process_gspmd_sharded_model():
+    """The real distributed seam: a 2-process x 4-device mesh running the
+    tensor-sharded encoder forward (checked against single-process numerics)
+    and one dp x tp train step with cross-process GSPMD collectives
+    (VERDICT r1 item 6 / weak #5)."""
+    _run_two_workers(GSPMD_WORKER, "gspmd worker {pid} OK", timeout=600)

@@ -1,0 +1,160 @@
+"""Quantization-quality table on a model that actually segments.
+
+Loads the synthetic-trained checkpoint (tools/train_synthetic.py), quantizes
+the encoder under each pipeline, and records held-out 5-click mIoU plus
+NoC@85 — the reference's acceptance gate (script/evaluation2.py:225-334,
+inference/utils.py:79-96) run with real absolute IoUs instead of
+random-weight relative-error claims.
+
+Configs: FP32, GPTQ-INT4, GPTQ-INT3, RTN-INT4, FQ-INT8 (PTF+LIS int ops on).
+
+    python tools/quality_table.py --ckpt checkpoints/vit_tiny_synth \
+        --platform cpu --out QUALITY.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("quality-table")
+    p.add_argument("--ckpt", default="checkpoints/vit_tiny_synth")
+    p.add_argument("--model", default="vit_tiny")
+    p.add_argument("--name", default="best", choices=["best", "latest"])
+    p.add_argument("--eval-samples", type=int, default=24)
+    p.add_argument("--calib-samples", type=int, default=8)
+    p.add_argument("--num-clicks", type=int, default=5)
+    p.add_argument("--noc-clicks", type=int, default=12)
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    p.add_argument("--out", default="QUALITY.json")
+    p.add_argument(
+        "--configs", nargs="*",
+        default=["fp32", "gptq_int4", "gptq_int3", "rtn_int4", "fq_int8"],
+    )
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sam_quantization_tpu.data.synthetic import synthetic_samples
+    from sam_quantization_tpu.evaluation import click_eval, metrics
+    from sam_quantization_tpu.models import sam as sam_lib
+    from sam_quantization_tpu.models.configs import CONFIGS
+    from sam_quantization_tpu.quant import gptq, sequential
+    from sam_quantization_tpu.train import checkpoint as ckpt_lib
+    from sam_quantization_tpu.train import trainer
+
+    cfg = CONFIGS[args.model]
+    size = cfg.image_encoder.img_size
+    template = sam_lib.init(jax.random.PRNGKey(0), cfg)
+    tcfg = trainer.TrainConfig()
+    opt_state_t = trainer.make_optimizer(tcfg).init(template)
+    model, _, step = ckpt_lib.load_checkpoint(
+        args.ckpt, template, opt_state_t, args.name
+    )
+    model = jax.tree_util.tree_map(jnp.asarray, model)
+    print(f"loaded {args.ckpt}/{args.name} (step {step})")
+
+    eval_samples = [
+        (img, gt) for img, gt in synthetic_samples(args.eval_samples, size, seed=9999)
+    ]
+    calib_imgs = [
+        sam_lib.preprocess(model, jnp.asarray(img))
+        for img, _ in synthetic_samples(args.calib_samples, size, seed=777)
+    ]
+    calib_sam = [
+        (img, gt) for img, gt in synthetic_samples(args.calib_samples, size, seed=777)
+    ]
+
+    def encoder_variant(name):
+        """Returns (model_with_quantized_encoder, ctx factory or None)."""
+        if name == "fp32":
+            return model, None
+        if name.startswith("gptq_int"):
+            bits = int(name[-1])
+            qcfg = gptq.GPTQConfig(bits=bits, groupsize=32)
+            enc, _losses = sequential.gptq_quantize_encoder(
+                model.image_encoder, cfg.image_encoder, calib_imgs, qcfg
+            )
+            return sam_lib.Sam(enc, model.prompt_encoder, model.mask_decoder, cfg), None
+        if name.startswith("rtn_int"):
+            bits = int(name[-1])
+            enc = sequential.rtn_quantize_encoder(
+                model.image_encoder, gptq.GPTQConfig(bits=bits, groupsize=32)
+            )
+            return sam_lib.Sam(enc, model.prompt_encoder, model.mask_decoder, cfg), None
+        if name == "fq_int8":
+            from sam_quantization_tpu.quant.fq.pipeline import (
+                FQConfig, calibrate_sam, quantize_sam,
+            )
+
+            fqcfg = FQConfig()  # int8 W, uint8 A, PTF int-LN + LIS enabled
+            qparams = calibrate_sam(model, calib_sam, fqcfg)
+            qmodel, make_ctx = quantize_sam(model, fqcfg, qparams)
+            return qmodel, make_ctx
+        raise ValueError(name)
+
+    def evaluate(qmodel, make_ctx):
+        ctx = make_ctx() if make_ctx else None
+        encode_raw, decode = click_eval.make_sam_backend(
+            qmodel, ctx=ctx, attn_impl="xla"
+        )
+        encode = lambda x: encode_raw(sam_lib.preprocess(qmodel, x))
+        res = click_eval.click_loop_eval(
+            encode, decode, eval_samples, num_clicks=args.num_clicks,
+            img_size=size, seed=123,
+        )
+        # NoC@85/90: random-click loop to noc_clicks, count clicks to reach
+        # threshold (inference/utils.py:79-96 semantics on the same backend)
+        noc_res = click_eval.click_loop_eval(
+            encode, decode, eval_samples, num_clicks=args.noc_clicks,
+            img_size=size, seed=321,
+        )
+        arr = np.asarray(noc_res.per_sample_ious)  # (n, clicks)
+        noc = {}
+        for thr in (0.80, 0.85, 0.90):
+            reach = arr >= thr
+            first = np.where(
+                reach.any(axis=1), reach.argmax(axis=1) + 1, args.noc_clicks
+            )
+            noc[f"noc@{int(thr * 100)}"] = float(first.mean())
+        return res, noc
+
+    rows = {}
+    for name in args.configs:
+        qmodel, make_ctx = encoder_variant(name)
+        res, noc = evaluate(qmodel, make_ctx)
+        rows[name] = {
+            "click1_miou": round(res.click1, 4),
+            f"click{args.num_clicks}_miou": round(res.final, 4),
+            **{k: round(v, 2) for k, v in noc.items()},
+        }
+        print(name, rows[name], flush=True)
+
+    out = {
+        "model": args.model,
+        "checkpoint_step": step,
+        "eval_samples": args.eval_samples,
+        "rows": rows,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({"status": "ok", "out": args.out}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
