@@ -38,13 +38,48 @@ def _throughput(fn, x, iters, warmup):
     return x.shape[0] * iters / dt
 
 
+def _chained_throughput(apply_fn, params, x, chain, reps):
+    """Device-honest timing through the axon relay: run the encoder over
+    ``chain`` stacked distinct inputs inside ONE jitted ``lax.scan`` — a
+    single dispatch, so the relay round-trip amortizes 1/chain and the
+    async-completion misreporting documented in BENCHMARKS.md (per-block
+    host loops "finish" in ms) cannot occur: one dispatch, one
+    block_until_ready, all compute on device. Distinct inputs defeat CSE.
+    """
+    import numpy as np
+
+    B = x.shape[0]
+    xs = jnp.stack(
+        [x + jnp.bfloat16(1e-3 * (i + 1)) for i in range(chain)]
+    )
+
+    @jax.jit
+    def run(params, xs):
+        def step(_, xi):
+            return (), jnp.mean(apply_fn(params, xi), axis=(1, 2))
+
+        _, outs = jax.lax.scan(step, (), xs)
+        return outs  # (chain, B, C) — tiny transfer
+
+    out = run(params, xs)
+    np.asarray(out)  # force real materialization (relay gotcha)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(run(params, xs))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return B * chain / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     # default vit_b: in the axon environment a ViT-H first-compile alone takes
     # ~an hour through the remote-compile helper; ViT-B exercises the exact
     # same kernels and finishes within a driver budget. Use --model vit_h on
     # a directly-attached chip.
-    ap.add_argument("--model", default="vit_b", choices=["vit_b", "vit_l", "vit_h"])
+    ap.add_argument("--model", default="vit_b",
+                    choices=["vit_tiny", "vit_b", "vit_l", "vit_h"])
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=5)
@@ -59,6 +94,16 @@ def main():
     ap.add_argument("--per-block", action="store_true",
                     help="per-block jits + host loop (for models whose "
                          "whole-encoder compile breaks the remote helper)")
+    ap.add_argument("--chain", type=int, default=0,
+                    help="N>0: time a single-dispatch lax.scan over N stacked "
+                         "inputs (device-honest through the relay); the "
+                         "scanned-block encoder keeps the program small "
+                         "enough for ViT-L/H")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="repetitions of the chained run (min taken)")
+    ap.add_argument("--static-act", action="store_true",
+                    help="with --a8-cached: calibrate static activation "
+                         "scales (no per-token amax reduction)")
     args = ap.parse_args()
 
     from sam_quantization_tpu.models import image_encoder
@@ -76,17 +121,23 @@ def main():
     x = jnp.zeros((args.batch, size, size, 3), jnp.bfloat16)
 
     print(f"[bench] {args.model} bf16 encoder...", file=sys.stderr, flush=True)
-    if args.per_block:
+    if args.chain:
+        fp_ips = _chained_throughput(
+            lambda p, xi: image_encoder.apply(p, xi, ecfg, attn_impl=args.baseline_attn),
+            params, x, args.chain, args.reps,
+        )
+    elif args.per_block:
         run = image_encoder.make_per_block_apply(ecfg, attn_impl=args.baseline_attn)
         # block per call: with 30+ host dispatches per forward, async timing
         # through the tunnel under-reports wildly (measured 459 "img/s" for
         # ViT-H); synchronous timing is honest here.
         fp_fn = lambda x: jax.block_until_ready(run(params, x))
+        fp_ips = _throughput(fp_fn, x, args.iters, args.warmup)
     else:
         fp_fn = jax.jit(
             lambda x: image_encoder.apply(params, x, ecfg, attn_impl=args.baseline_attn)
         )
-    fp_ips = _throughput(fp_fn, x, args.iters, args.warmup)
+        fp_ips = _throughput(fp_fn, x, args.iters, args.warmup)
     print(f"[bench] bf16: {fp_ips:.3f} img/s", file=sys.stderr, flush=True)
 
     a8 = args.a8 or args.a8_cached
@@ -95,18 +146,45 @@ def main():
     if args.a8_cached:
         from sam_quantization_tpu.nn.packed import cache_int8
 
-        qparams = cache_int8(qparams)
+        act_scales = None
+        if args.static_act:
+            from sam_quantization_tpu.quant.act_scales import calibrate_act_scales
+
+            print("[bench] calibrating static act scales (CPU backend)...",
+                  file=sys.stderr, flush=True)
+            # The amax-capture ctx disables the scanned-block path, so the
+            # traced program is the full unrolled encoder — too big for the
+            # axon remote-compile helper at ViT-H. Calibration is a
+            # correctness pass, not a timed one: run it on the CPU backend.
+            with jax.default_device(jax.devices("cpu")[0]):
+                calib = jax.random.normal(
+                    jax.random.PRNGKey(1), (1, size, size, 3), jnp.bfloat16
+                )
+                cparams = jax.device_put(params, jax.devices("cpu")[0])
+                act_scales = calibrate_act_scales(
+                    cparams, ecfg, [calib], margin=1.1
+                )
+        qparams = cache_int8(qparams, act_scales=act_scales)
     elif args.a8:
         from sam_quantization_tpu.nn.packed import with_act_bits
 
         qparams = with_act_bits(qparams, 8)
-    if args.per_block:
+    if args.chain:
+        q_ips = _chained_throughput(
+            lambda p, xi: image_encoder.apply(p, xi, ecfg),
+            qparams, x, args.chain, args.reps,
+        )
+    elif args.per_block:
         qrun = image_encoder.make_per_block_apply(ecfg)
         q_fn = lambda x: jax.block_until_ready(qrun(qparams, x))
+        q_ips = _throughput(q_fn, x, args.iters, args.warmup)
     else:
         q_fn = jax.jit(lambda x: image_encoder.apply(qparams, x, ecfg))
-    q_ips = _throughput(q_fn, x, args.iters, args.warmup)
-    tag = f"int{args.bits}" + ("_a8cached" if args.a8_cached else "_a8" if args.a8 else "")
+        q_ips = _throughput(q_fn, x, args.iters, args.warmup)
+    tag = f"int{args.bits}" + (
+        ("_a8static" if args.static_act else "_a8cached") if args.a8_cached
+        else "_a8" if args.a8 else ""
+    )
     print(f"[bench] {tag}: {q_ips:.3f} img/s", file=sys.stderr, flush=True)
 
     print(

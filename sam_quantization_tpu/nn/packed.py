@@ -244,6 +244,12 @@ class IntLinear:
     w8: jax.Array  # int8 (K, N), symmetric grid (zero removed)
     scales: jax.Array  # f32 (G, N)
     bias: Optional[jax.Array]
+    # Static (calibrated) activation scale: when set, activations quantize
+    # with this fixed per-tensor scale — a pure elementwise op XLA fuses into
+    # the producer's epilogue, removing the per-token amax reduction that
+    # eats the int8-MXU advantage in the dynamic path (BENCHMARKS.md r1 A8
+    # findings). None = dynamic per-token quantization.
+    in_scale: Optional[jax.Array] = None
     groupsize: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
@@ -259,22 +265,31 @@ class IntLinear:
         return self.scales.shape[0]
 
 
-def cache_int8(tree):
+def cache_int8(tree, act_scales: Optional[dict] = None):
     """Convert every *symmetric* PackedLinear in a pytree to IntLinear
-    (pre-unpacked int8 weights for the native int8-MXU serving mode)."""
+    (pre-unpacked int8 weights for the native int8-MXU serving mode).
+
+    ``act_scales``: optional {layer path: scalar} of calibrated activation
+    abs-max scales (see quant.act_scales.calibrate_act_scales). When a layer
+    has one, its activations quantize statically — no runtime reduction.
+    """
     from sam_quantization_tpu.nn import packed as _p
 
-    def walk(node):
+    def walk(node, path=""):
         if isinstance(node, PackedLinear) and node.sym:
             mid = 1 << (node.bits - 1)
             w8 = (_p.unpack_to_int(node) - mid).astype(jnp.int8)
+            in_scale = None
+            if act_scales is not None and path in act_scales:
+                in_scale = jnp.float32(act_scales[path]) / 127.0
             return IntLinear(
-                w8=w8, scales=node.scales, bias=node.bias, groupsize=node.groupsize
+                w8=w8, scales=node.scales, bias=node.bias,
+                in_scale=in_scale, groupsize=node.groupsize,
             )
         if isinstance(node, dict):
-            return {k: walk(v) for k, v in node.items()}
+            return {k: walk(v, f"{path}.{k}" if path else k) for k, v in node.items()}
         if isinstance(node, list):
-            return [walk(v) for v in node]
+            return [walk(v, f"{path}.{i}") for i, v in enumerate(node)]
         return node
 
     return walk(tree)

@@ -80,15 +80,26 @@ def tune_shape(
     best, best_dt = None, float("inf")
     for bm, bn, bk in candidate_blocks(M, N, K, p.groupsize, p.pack_block):
         try:
-            fn = jax.jit(
-                lambda x, bm=bm, bn=bn, bk=bk: _call_with_blocks(x, p, bm, bn, bk)
-            )
-            r = fn(x)
-            jax.block_until_ready(r)
+            # Single-dispatch timing: iterate inside one jit (lax.scan with a
+            # per-step input perturbation to defeat CSE) so the axon relay's
+            # per-dispatch overhead and async-completion misreporting don't
+            # skew the comparison; wall time / iters ≈ device time per call.
+            def run(x, bm=bm, bn=bn, bk=bk):
+                def step(acc, i):
+                    xi = x + (i + 1).astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
+                    return acc + _call_with_blocks(xi, p, bm, bn, bk), ()
+
+                acc, _ = jax.lax.scan(
+                    step, jnp.zeros((x.shape[0], N), x.dtype), jnp.arange(iters)
+                )
+                return jnp.mean(acc)
+
+            fn = jax.jit(run)
+            import numpy as _np
+
+            _np.asarray(fn(x))  # compile + materialize
             t0 = time.perf_counter()
-            for _ in range(iters):
-                r = fn(x)
-            jax.block_until_ready(r)
+            _np.asarray(fn(x))
             dt = (time.perf_counter() - t0) / iters
         except Exception as e:  # unsupported tiling on this target
             if verbose:

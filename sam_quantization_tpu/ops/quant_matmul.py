@@ -118,9 +118,20 @@ def quant_matmul_a8_sym_native(x: jax.Array, p: PackedLinear) -> jax.Array:
 
 
 def int8_matmul(x: jax.Array, p: IntLinear) -> jax.Array:
-    """Cached-int8 native path: dynamic per-token int8 activations × stored
-    int8 weights on the double-rate MXU — no unpack in the hot loop."""
-    xq, xs = quantize_activations_int8(x)
+    """Cached-int8 native path: int8 activations × stored int8 weights on the
+    double-rate MXU — no unpack in the hot loop.
+
+    With a calibrated ``in_scale`` the activation quantization is a static
+    elementwise op (round/clip at a fixed scale) that XLA fuses into the
+    producer — no per-token amax reduction, the cost that capped the dynamic
+    A8 path at 0.98x bf16 (BENCHMARKS.md r1)."""
+    if p.in_scale is not None:
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / p.in_scale), -127, 127
+        ).astype(jnp.int8)
+        xs = p.in_scale
+    else:
+        xq, xs = quantize_activations_int8(x)
     K, N = p.w8.shape
     G = p.scales.shape[0]
     if G == 1:

@@ -47,6 +47,7 @@ def _linear_spec(p, out_axis: Optional[str], in_axis: Optional[str]):
             w8=P(in_axis, out_axis),
             scales=P(None, out_axis),
             bias=None if p.bias is None else P(out_axis),
+            in_scale=None if p.in_scale is None else P(),
             groupsize=p.groupsize,
         )
     if isinstance(p, PackedLinear):
@@ -115,7 +116,9 @@ def sam_param_specs(model_params_tree):
 def shard_params(params, mesh: Mesh, specs):
     """Place a parameter pytree onto the mesh per the spec tree."""
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: None
+        if x is None
+        else jax.device_put(x, NamedSharding(mesh, s if s is not None else P())),
         params,
         specs,
         is_leaf=lambda x: isinstance(x, P) or x is None,

@@ -192,6 +192,57 @@ def test_int_linear_cached(rng):
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
+def test_int_linear_static_act_scale(rng):
+    """Static (calibrated) activation scale matches the dynamic path closely
+    and produces a scalar in_scale leaf on the IntLinear."""
+    from sam_quantization_tpu.nn import functional as F
+    from sam_quantization_tpu.nn.packed import cache_int8
+
+    K, N, M = 256, 128, 16
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    p = packed.quantize_rtn(jnp.asarray(w), bits=4, groupsize=64, sym=True)
+    amax = float(jnp.max(jnp.abs(x)))
+    tree_dyn = cache_int8({"lin": p})
+    tree_sta = cache_int8({"lin": p}, act_scales={"lin": amax})
+    assert tree_sta["lin"].in_scale is not None
+    got = np.asarray(F.linear(tree_sta["lin"], x))
+    want = np.asarray(F.linear(tree_dyn["lin"], x))
+    dense = x @ w
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+    # static path must still be an accurate linear (int4 weight error dominates)
+    cos = float(
+        (got * dense).sum()
+        / (np.linalg.norm(got) * np.linalg.norm(dense) + 1e-9)
+    )
+    assert cos > 0.99, cos
+
+
+def test_calibrate_act_scales_paths(rng):
+    """calibrate_act_scales returns an amax per encoder linear whose keys
+    match the cache_int8 walk paths."""
+    from sam_quantization_tpu.models import image_encoder
+    from sam_quantization_tpu.models.configs import VIT_TINY
+    from sam_quantization_tpu.nn.packed import IntLinear, cache_int8
+    from sam_quantization_tpu.quant import gptq, sequential
+    from sam_quantization_tpu.quant.act_scales import calibrate_act_scales
+
+    ecfg = VIT_TINY.image_encoder
+    params = image_encoder.init(jax.random.PRNGKey(0), ecfg)
+    x = jnp.asarray(rng.normal(size=(1, ecfg.img_size, ecfg.img_size, 3)),
+                    jnp.float32)
+    scales = calibrate_act_scales(params, ecfg, [x])
+    assert scales and all(v > 0 for v in scales.values())
+    qp = sequential.rtn_quantize_encoder(
+        params, gptq.GPTQConfig(bits=4, groupsize=0, sym=True)
+    )
+    qp = cache_int8(qp, act_scales=scales)
+    qkv = qp["blocks"][0]["attn"]["qkv"]
+    assert isinstance(qkv, IntLinear) and qkv.in_scale is not None
+    out = image_encoder.apply(qp, x, ecfg, attn_impl="xla")
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_autotune_candidates_and_table(tmp_path):
     from sam_quantization_tpu.ops import autotune
 
