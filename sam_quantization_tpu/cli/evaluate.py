@@ -28,6 +28,9 @@ def main(argv=None):
                    )
     p.add_argument("--with-flip", action="store_true")
     p.add_argument("--zoom-in", action="store_true")
+    p.add_argument("--crops", default=None, metavar="HxW",
+                   help="tiled-crop TTA, e.g. 320x480 (ref eval-mode "
+                        "'fixed<crop>', scripts/evaluate_model.py)")
     args = p.parse_args(argv)
 
     from sam_quantization_tpu.data.datasets import (
@@ -48,17 +51,25 @@ def main(argv=None):
             config=model.config,
         )
     size = model.config.image_encoder.img_size
-    use_predictor = args.mode != "NoBRS" or args.with_flip or args.zoom_in
+    use_predictor = (
+        args.mode != "NoBRS" or args.with_flip or args.zoom_in or args.crops
+    )
     if use_predictor:
         from sam_quantization_tpu.evaluation.predictors import (
-            FeatureBRSPredictor, InputBRSPredictor, SamEvalPredictor, ZoomIn,
+            Crops, FeatureBRSPredictor, InputBRSPredictor, SamEvalPredictor,
+            ZoomIn,
         )
         from sam_quantization_tpu.predictor import SamPredictor
 
+        crops = None
+        if args.crops:
+            ch, cw = (int(v) for v in args.crops.lower().split("x"))
+            crops = Crops(crop_size=(ch, cw))
         base = SamPredictor(model)
         kw = dict(
             with_flip=args.with_flip,
             zoom_in=ZoomIn(target_size=size) if args.zoom_in else None,
+            crops=crops,
         )
         if args.mode == "InputBRS":
             eval_pred = InputBRSPredictor(base, **kw)

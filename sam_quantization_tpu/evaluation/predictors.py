@@ -34,14 +34,17 @@ class SamEvalPredictor:
         predictor: SamPredictor,
         with_flip: bool = False,
         zoom_in: Optional["ZoomIn"] = None,
+        crops: Optional["Crops"] = None,
         net_clicks_limit: Optional[int] = None,
     ):
         self.predictor = predictor
         self.with_flip = with_flip
         self.zoom_in = zoom_in
+        self.crops = crops
         self.net_clicks_limit = net_clicks_limit or 24
         self.original_image: Optional[np.ndarray] = None
         self.prev_prediction: Optional[np.ndarray] = None
+        self._crop_preds: List[SamPredictor] = []
 
     def set_input_image(self, image: np.ndarray):
         """Cache the image embedding once per image (the reference caches at
@@ -51,6 +54,16 @@ class SamEvalPredictor:
         self.prev_prediction = np.zeros(image.shape[:2], np.float32)
         if self.zoom_in is not None:
             self.zoom_in.reset()
+        self._crop_preds = []
+        if self.crops is not None:
+            self._crop_offsets = self.crops.offsets(*image.shape[:2])
+            for dy, dx in self._crop_offsets or []:
+                ch, cw = self.crops.crop_size
+                sub = SamPredictor(
+                    self.predictor.model, attn_impl=self.predictor.attn_impl
+                )
+                sub.set_image(image[dy : dy + ch, dx : dx + cw])
+                self._crop_preds.append(sub)
 
     def _predict_once(self, predictor, clicks: List[Click], mask_input=None):
         coords = np.array(
@@ -72,6 +85,10 @@ class SamEvalPredictor:
 
     def get_prediction(self, clicker, prev_mask=None) -> np.ndarray:
         clicks = clicker.get_clicks()
+        if self._crop_preds:
+            prob = self._predict_crops(clicks)
+            self.prev_prediction = prob
+            return prob
         logits, low_res = self._predict_once(self.predictor, clicks, prev_mask)
         prob = _sigmoid(logits)
 
@@ -95,6 +112,73 @@ class SamEvalPredictor:
         self.prev_prediction = prob
         self.last_low_res = low_res
         return prob
+
+    def _predict_crops(self, clicks: List[Click]) -> np.ndarray:
+        """Tiled prediction: every overlapping crop is predicted from the
+        clicks that fall inside it; overlaps are averaged by coverage count
+        (ref inference/transforms/crops.py transform/inv_transform). Crops
+        with no positive click contribute background — a SAM adaptation,
+        since point prompts (unlike RITM click maps) can't express clicks
+        outside the crop frame."""
+        H, W = self.original_image.shape[:2]
+        ch, cw = self.crops.crop_size
+        acc = np.zeros((H, W), np.float32)
+        counts = np.zeros((H, W), np.float32)
+        for (dy, dx), sub in zip(self._crop_offsets, self._crop_preds):
+            counts[dy : dy + ch, dx : dx + cw] += 1.0
+            sub_clicks = [
+                Click(
+                    is_positive=c.is_positive,
+                    coords=(c.coords[0] - dy, c.coords[1] - dx),
+                )
+                for c in clicks
+                if dy <= c.coords[0] < dy + ch and dx <= c.coords[1] < dx + cw
+            ]
+            if not any(c.is_positive for c in sub_clicks):
+                continue
+            logits, _ = self._predict_once(sub, sub_clicks)
+            acc[dy : dy + ch, dx : dx + cw] += _sigmoid(logits)
+        return acc / np.maximum(counts, 1.0)
+
+
+class Crops:
+    """Overlapping-tile TTA (ref inference/transforms/crops.py:11-103): cover
+    the image with crops of fixed size at ≥``min_overlap`` overlap, predict
+    each, average the overlaps. Inactive for images smaller than the crop."""
+
+    def __init__(self, crop_size=(320, 480), min_overlap: float = 0.2):
+        self.crop_size = tuple(crop_size)
+        self.min_overlap = min_overlap
+
+    def offsets(self, H: int, W: int):
+        """[(dy, dx)] row-major, or None when the image is smaller than the
+        crop (ref crops.py:26-27)."""
+        ch, cw = self.crop_size
+        if H < ch or W < cw:
+            return None
+        return [
+            (dy, dx)
+            for dy in _axis_offsets(H, ch, self.min_overlap)
+            for dx in _axis_offsets(W, cw, self.min_overlap)
+        ]
+
+
+def _axis_offsets(length: int, crop: int, min_overlap: float):
+    """Evenly spread start offsets so consecutive crops overlap by at least
+    ``min_overlap`` of the crop (ref crops.py get_offsets:81-103)."""
+    if length == crop:
+        return [0]
+    import math
+
+    n = math.ceil((length / crop - min_overlap) / (1.0 - min_overlap))
+    if n <= 1:
+        return [0]
+    overlap_px = int(crop * (n - length / crop) / (n - 1))
+    offs = [0]
+    for _ in range(1, n):
+        nxt = min(offs[-1] + crop - overlap_px, length - crop)
+        offs.append(nxt)
+    return offs
 
 
 class ZoomIn:
@@ -208,14 +292,8 @@ class InputBRSPredictor(SamEvalPredictor):
             viol = jnp.where(want_pos, jnp.maximum(0.0, -vals), jnp.maximum(0.0, vals))
             return jnp.sum(viol**2) + self.reg_weight * jnp.sum(mask_in**2)
 
-        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
         mask_in = jnp.zeros((1, 4 * h, 4 * w, 1), jnp.float32)
-        lr = 1.0
-        for _ in range(self.opt_steps):
-            val, g = grad_fn(mask_in)
-            if float(val) <= 1e-6:
-                break
-            mask_in = mask_in - lr * g
+        mask_in = _lbfgs_minimize(loss_fn, mask_in, self.opt_steps)
         low_res = forward(mask_in)
         size = model.config.image_encoder.img_size
         masks = sam_lib.postprocess_masks(
@@ -286,13 +364,8 @@ class FeatureBRSPredictor(SamEvalPredictor):
             reg = self.reg_weight * (jnp.sum(scale**2) + jnp.sum(bias**2))
             return jnp.sum(viol**2) + reg
 
-        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
         aux = (jnp.zeros((C,), jnp.float32), jnp.zeros((C,), jnp.float32))
-        for _ in range(self.opt_steps):
-            val, g = grad_fn(aux)
-            if float(val) <= 1e-6:
-                break
-            aux = tuple(a - self.lr * gi for a, gi in zip(aux, g))
+        aux = _lbfgs_minimize(loss_fn, aux, self.opt_steps)
         low_res = decode_with(aux)
         masks = sam_lib.postprocess_masks(
             model, low_res, pred.input_size, pred.original_size
@@ -300,6 +373,32 @@ class FeatureBRSPredictor(SamEvalPredictor):
         prob = _sigmoid(np.asarray(masks[0, 0]))
         self.prev_prediction = prob
         return prob
+
+
+def _lbfgs_minimize(loss_fn, params, max_steps: int, tol: float = 1e-6):
+    """Minimize ``loss_fn`` over a pytree with optax L-BFGS + zoom
+    linesearch — the reference's BRS optimizer is scipy L-BFGS-B
+    (inference/predictors/brs.py:56-60); fixed-step GD diverges easily on
+    the 256x256 input map. One jitted step; host-side early stop."""
+    import jax
+    import optax
+
+    opt = optax.lbfgs()
+
+    @jax.jit
+    def step(p, state):
+        val, grad = optax.value_and_grad_from_state(loss_fn)(p, state=state)
+        updates, state = opt.update(
+            grad, state, p, value=val, grad=grad, value_fn=loss_fn
+        )
+        return optax.apply_updates(p, updates), state, val
+
+    state = opt.init(params)
+    for _ in range(max_steps):
+        params, state, val = step(params, state)
+        if float(val) <= tol:
+            break
+    return params
 
 
 def _sigmoid(x):

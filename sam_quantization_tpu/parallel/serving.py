@@ -11,10 +11,12 @@ this module provides one, TPU-style:
   * decodes run as one batched fixed-shape program over the same batch;
   * results resolve per-request futures.
 
-Multi-host: each host runs a server over its mesh slice and feeds its local
-queue (`data.datasets.shard_indices` is the request-sharding counterpart);
-the encoder program is identical across hosts, so a multi-host mesh simply
-extends the dp axis.
+Scope: this server is single-host — one dispatcher thread, one queue, with
+an optional dp sharding of the batch over a local mesh. On a multi-host
+deployment each host would run its own SamServer over the global mesh's
+local slice and feed it host-local requests (the GSPMD program is identical
+across hosts; `data.datasets.shard_indices` is the request-sharding
+counterpart) — that orchestration is NOT implemented here.
 """
 
 from __future__ import annotations

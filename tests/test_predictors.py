@@ -57,6 +57,39 @@ def test_eval_predictor_zoom(rng):
     assert np.isfinite(prob).all()
 
 
+def test_crops_offsets_math():
+    """Offsets cover the axis with >= min_overlap and end flush (ref
+    crops.py get_offsets:81-103)."""
+    from sam_quantization_tpu.evaluation.predictors import _axis_offsets
+
+    offs = _axis_offsets(500, 320, 0.2)
+    assert offs[0] == 0 and offs[-1] == 500 - 320
+    assert all(o2 - o1 <= 320 for o1, o2 in zip(offs, offs[1:]))
+    assert _axis_offsets(320, 320, 0.2) == [0]
+
+
+def test_eval_predictor_crops(rng):
+    """Tiled-crop TTA: per-crop predictions average into the full frame."""
+    from sam_quantization_tpu.evaluation.predictors import Crops
+
+    model = sam_lib.init(jax.random.PRNGKey(0), VIT_TINY)
+    base = SamPredictor(model, attn_impl="xla")
+    size = VIT_TINY.image_encoder.img_size  # 128
+    p = SamEvalPredictor(base, crops=Crops(crop_size=(96, 96), min_overlap=0.2))
+    img, gt = _scene(rng, size)
+    p.set_input_image(img)
+    assert len(p._crop_preds) == 4  # 2x2 tiling of 128^2 by 96^2
+    clicker = Clicker(gt_mask=gt)
+    clicker.make_next_click(np.zeros_like(gt, bool))
+    prob = p.get_prediction(clicker)
+    assert prob.shape == (size, size)
+    assert np.isfinite(prob).all() and (prob >= 0).all() and (prob <= 1).all()
+    # a crop-size image deactivates crops entirely
+    p2 = SamEvalPredictor(base, crops=Crops(crop_size=(size, size)))
+    p2.set_input_image(img)
+    assert len(p2._crop_preds) == 1
+
+
 def test_input_brs(rng):
     _run(InputBRSPredictor, rng, opt_steps=2)
 
