@@ -72,6 +72,111 @@ def _chained_throughput(apply_fn, params, x, chain, reps):
     return B * chain / dt
 
 
+def _segments_throughput(params, x, ecfg, attn_impl, reps, seg_reps):
+    """Device-honest ViT-L/H timing without a whole-program compile: the
+    encoder's four stages (embed / windowed blocks / global blocks / neck)
+    are timed as four SMALL single-dispatch programs and their device times
+    summed. Each block-stage program scans the real per-image block stack
+    (all 28 windowed / 4 global blocks for ViT-H) ``seg_reps`` times in one
+    dispatch — iterative application on the carried activation, so the work
+    cannot be CSE'd away and the relay round-trip amortizes to <3%. The sum
+    slightly over-counts (4 dispatch boundaries instead of 1), so the result
+    is conservative. Counterpart of the reference's whole-program bench
+    (gptq4sam_infer.py:59-79) for models whose first-compile exceeds the
+    axon remote-compile helper's limits (BENCHMARKS.md).
+    """
+    import numpy as np
+
+    from sam_quantization_tpu.models import image_encoder as ie
+    from sam_quantization_tpu.models.image_encoder import NULL_CTX
+
+    def timed(fn, *args):
+        out = fn(*args)  # compile + warm
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    def stack(trees):
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+    glob_idx = set(ecfg.global_attn_indexes)
+    win_blocks = stack(
+        [params["blocks"][i] for i in range(ecfg.depth) if i not in glob_idx]
+    )
+    glob_blocks = stack(
+        [params["blocks"][i] for i in range(ecfg.depth) if i in glob_idx]
+    )
+    win_slot = next(i for i in range(ecfg.depth) if i not in glob_idx)
+    glob_slot = next(iter(sorted(glob_idx)))
+
+    # --- embed / neck: scan over `seg_reps` perturbed copies of the input
+    xs = jnp.stack([x + jnp.bfloat16(1e-3 * (i + 1)) for i in range(seg_reps)])
+
+    @jax.jit
+    def run_embed(p, xs):
+        def step(_, xi):
+            return (), ie.embed(p, xi, ecfg)
+
+        _, outs = jax.lax.scan(step, (), xs)
+        return outs[-1], jnp.mean(outs, axis=(2, 3))
+
+    (x_blk, _) = run_embed(params, xs)
+    t_embed = timed(lambda: run_embed(params, xs)) / seg_reps
+
+    def block_stage(blocks, slot):
+        @jax.jit
+        def run(bp, xb):
+            def rep(x, _):
+                def step(x, blk):
+                    return (
+                        ie.block_apply(blk, x, ecfg, slot, NULL_CTX,
+                                       attn_impl=attn_impl),
+                        None,
+                    )
+
+                x, _ = jax.lax.scan(step, x, bp)
+                return x, None
+
+            x, _ = jax.lax.scan(rep, xb, None, length=seg_reps)
+            return x
+
+        return run
+
+    run_win = block_stage(win_blocks, win_slot)
+    t_win = timed(lambda: run_win(win_blocks, x_blk)) / seg_reps
+    x_after = run_win(win_blocks, x_blk)
+    run_glob = block_stage(glob_blocks, glob_slot)
+    t_glob = timed(lambda: run_glob(glob_blocks, x_after)) / seg_reps
+    x_after = run_glob(glob_blocks, x_after)
+
+    necks = jnp.stack(
+        [x_after + jnp.bfloat16(1e-3 * (i + 1)) for i in range(seg_reps)]
+    )
+
+    @jax.jit
+    def run_neck(p, xs):
+        def step(_, xi):
+            return (), jnp.mean(ie.neck(p, xi, ecfg), axis=(1, 2))
+
+        _, outs = jax.lax.scan(step, (), xs)
+        return outs
+
+    t_neck = timed(lambda: run_neck(params, necks)) / seg_reps
+
+    total = t_embed + t_win + t_glob + t_neck
+    print(
+        f"[bench]   segments ms/img: embed {1e3 * t_embed:.2f} + "
+        f"windowed {1e3 * t_win:.2f} + global {1e3 * t_glob:.2f} + "
+        f"neck {1e3 * t_neck:.2f} = {1e3 * total:.2f}",
+        file=sys.stderr, flush=True,
+    )
+    return x.shape[0] / total
+
+
 def main():
     ap = argparse.ArgumentParser()
     # default vit_b: in the axon environment a ViT-H first-compile alone takes
@@ -101,6 +206,13 @@ def main():
                          "enough for ViT-L/H")
     ap.add_argument("--reps", type=int, default=3,
                     help="repetitions of the chained run (min taken)")
+    ap.add_argument("--segments", action="store_true",
+                    help="time embed/windowed/global/neck as four small "
+                         "single-dispatch programs and sum device times — "
+                         "for ViT-L/H whose whole-program compile exceeds "
+                         "the remote helper (method in BENCHMARKS.md)")
+    ap.add_argument("--seg-reps", type=int, default=4,
+                    help="in-dispatch repetitions per segment program")
     ap.add_argument("--static-act", action="store_true",
                     help="with --a8-cached: calibrate static activation "
                          "scales (no per-token amax reduction)")
@@ -121,7 +233,11 @@ def main():
     x = jnp.zeros((args.batch, size, size, 3), jnp.bfloat16)
 
     print(f"[bench] {args.model} bf16 encoder...", file=sys.stderr, flush=True)
-    if args.chain:
+    if args.segments:
+        fp_ips = _segments_throughput(
+            params, x, ecfg, args.baseline_attn, args.reps, args.seg_reps
+        )
+    elif args.chain:
         fp_ips = _chained_throughput(
             lambda p, xi: image_encoder.apply(p, xi, ecfg, attn_impl=args.baseline_attn),
             params, x, args.chain, args.reps,
@@ -169,7 +285,11 @@ def main():
         from sam_quantization_tpu.nn.packed import with_act_bits
 
         qparams = with_act_bits(qparams, 8)
-    if args.chain:
+    if args.segments:
+        q_ips = _segments_throughput(
+            qparams, x, ecfg, "auto", args.reps, args.seg_reps
+        )
+    elif args.chain:
         q_ips = _chained_throughput(
             lambda p, xi: image_encoder.apply(p, xi, ecfg),
             qparams, x, args.chain, args.reps,

@@ -39,9 +39,38 @@ class Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):
-        if self.path in ("/", "/index.html"):
-            with open(os.path.join(os.path.dirname(__file__), "index.html"), "rb") as f:
+        here = os.path.dirname(__file__)
+        path = self.path.split("?")[0]
+        if path in ("/", "/index.html"):
+            with open(os.path.join(here, "index.html"), "rb") as f:
                 self._send(200, f.read(), "text/html")
+        elif path == "/decoder.js":
+            with open(os.path.join(here, "decoder.js"), "rb") as f:
+                self._send(200, f.read(), "application/javascript")
+        elif path == "/decoder_manifest.json":
+            self._send(200, json.dumps(STATE["manifest"]).encode())
+        elif path == "/decoder_weights.bin":
+            self._send(200, STATE["blob"], "application/octet-stream")
+        elif path == "/embedding":
+            # image embedding + transform metadata for the in-browser decoder
+            # (counterpart of the reference demo's precomputed-embedding flow,
+            # demo/README.md:1-28)
+            pred = STATE["predictor"]
+            if pred.features is None:
+                self._send(400, b'{"error": "no image set"}')
+                return
+            emb = np.asarray(pred.features, np.float32)  # (1, h, w, C)
+            body = json.dumps(
+                {
+                    "embedding": base64.b64encode(
+                        np.ascontiguousarray(emb).tobytes()
+                    ).decode(),
+                    "shape": list(emb.shape),
+                    "input_size": list(pred.input_size),
+                    "original_size": list(pred.original_size),
+                }
+            ).encode()
+            self._send(200, body)
         else:
             self._send(404, b"{}")
 
@@ -91,7 +120,14 @@ def main():
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--load", default=None, help="quantized artifact dir")
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (leave the TPU alone)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from sam_quantization_tpu.models import build_sam, sam as sam_lib
     from sam_quantization_tpu.predictor import SamPredictor
@@ -106,6 +142,9 @@ def main():
             mask_decoder=model.mask_decoder, config=model.config,
         )
     STATE["predictor"] = SamPredictor(model)
+    from sam_quantization_tpu.export_js import flatten_decoder
+
+    STATE["manifest"], STATE["blob"] = flatten_decoder(model)
     server = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
     print(f"demo at http://localhost:{args.port}")
     server.serve_forever()

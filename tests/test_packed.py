@@ -218,6 +218,32 @@ def test_int_linear_static_act_scale(rng):
     assert cos > 0.99, cos
 
 
+def test_int_linear_per_channel_requant(rng):
+    """Grouped weights requantize to ONE per-column int8 grid (single MXU
+    dot, no (G, M, N) accumulator) with error far below the int4 grid's."""
+    from sam_quantization_tpu.nn import functional as F
+    from sam_quantization_tpu.nn.packed import cache_int8, dequantize
+
+    K, N, M = 256, 128, 16
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    p = packed.quantize_rtn(jnp.asarray(w), bits=4, groupsize=32, sym=True)
+    t_pc = cache_int8({"lin": p})  # per-channel is the default
+    t_gr = cache_int8({"lin": p}, per_channel=False)
+    assert t_pc["lin"].scales.shape == (1, N)
+    assert t_gr["lin"].scales.shape == (K // 32, N)
+    # requantized weights vs the exact dequantized int4 weights: < 1% rel
+    w_exact = np.asarray(dequantize(p, jnp.float32))
+    w_pc = np.asarray(t_pc["lin"].w8, np.float32) * np.asarray(
+        t_pc["lin"].scales
+    )
+    rel = np.abs(w_pc - w_exact).max() / np.abs(w_exact).max()
+    assert rel < 0.01, rel
+    got = np.asarray(F.linear(t_pc["lin"], x))
+    want = np.asarray(F.linear(t_gr["lin"], x))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
 def test_calibrate_act_scales_paths(rng):
     """calibrate_act_scales returns an amax per encoder linear whose keys
     match the cache_int8 walk paths."""
