@@ -23,7 +23,7 @@ blocks.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Iterable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -265,7 +265,12 @@ class IntLinear:
         return self.scales.shape[0]
 
 
-def cache_int8(tree, act_scales: Optional[dict] = None, per_channel: bool = True):
+def cache_int8(
+    tree,
+    act_scales: Optional[dict] = None,
+    per_channel: bool = True,
+    skip: Optional[Iterable[str]] = ("attn.proj",),
+):
     """Convert every *symmetric* PackedLinear in a pytree to IntLinear
     (pre-unpacked int8 weights for the native int8-MXU serving mode).
 
@@ -280,10 +285,26 @@ def cache_int8(tree, act_scales: Optional[dict] = None, per_channel: bool = True
     MXU int8 dot + column scale. Requant error is bounded by half an int8
     step of the column amax — 1/16 of the int4 grid's own step, so the
     serving numerics are dominated by the original 4-bit quantization.
+
+    ``skip``: layer-path substrings routed to plain dense bf16 instead of
+    int8 — per-op routing driven by measurement: at SAM shapes the int8 dot
+    wins on qkv/lin1/lin2 (1.2–1.6×) but *loses* on the small square
+    attn.proj (0.82×, tools/microbench_a8.py), where the activation
+    quantize pass outweighs the dot speedup.
     """
     from sam_quantization_tpu.nn import packed as _p
 
     def walk(node, path=""):
+        if (
+            isinstance(node, PackedLinear)
+            and node.sym
+            and skip is not None
+            and any(s in path for s in skip)
+        ):
+            return {
+                "w": _p.dequantize(node, jnp.bfloat16),
+                **({"b": node.bias} if node.bias is not None else {}),
+            }
         if isinstance(node, PackedLinear) and node.sym:
             mid = 1 << (node.bits - 1)
             in_scale = None

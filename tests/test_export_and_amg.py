@@ -118,10 +118,19 @@ def test_js_decoder_spec_parity(rng):
 
     low_js, iou_js = ref.decode(emb, clicks)
 
-    coords = jnp.asarray([[[x, y] for x, y, _ in clicks]], jnp.float32)
-    labels = jnp.asarray([[lab for _, _, lab in clicks]], jnp.float32)
+    # The browser decoder pads the click list to the manifest's fixed
+    # `max_points` slots (label -1) exactly like SamPredictor's fixed-shape
+    # decode (predictor.MAX_POINTS) — replicate that padding here so the
+    # spec is compared against the decode the server actually runs.
+    n_slots = manifest["config"]["max_points"]
+    coords_np = np.zeros((1, n_slots, 2), np.float32)
+    labels_np = -np.ones((1, n_slots), np.float32)
+    for i, (x, y, lab) in enumerate(clicks):
+        coords_np[0, i] = [x, y]
+        labels_np[0, i] = lab
     sparse = prompt_encoder.embed_points(
-        model.prompt_encoder, VIT_TINY.prompt_encoder, coords, labels
+        model.prompt_encoder, VIT_TINY.prompt_encoder,
+        jnp.asarray(coords_np), jnp.asarray(labels_np)
     )
     dense = prompt_encoder.no_mask_dense(
         model.prompt_encoder, VIT_TINY.prompt_encoder, 1
