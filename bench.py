@@ -91,6 +91,12 @@ def _segments_throughput(params, x, ecfg, attn_impl, reps, seg_reps):
     from sam_quantization_tpu.models.image_encoder import NULL_CTX
 
     def timed(fn, *args):
+        """Times a stage program whose output is a SCALAR — the full carried
+        activation is handed to the next stage by a separate untimed call.
+        Returning the real (1, 64, 64, C) activation would add seconds of
+        relay transfer per dispatch (10 MB for ViT-H) and swamp the device
+        time; a scalar reduces transfer to bytes while XLA still cannot
+        elide any block (the mean depends on all of them)."""
         out = fn(*args)  # compile + warm
         np.asarray(jax.tree_util.tree_leaves(out)[0])
         times = []
@@ -102,6 +108,12 @@ def _segments_throughput(params, x, ecfg, attn_impl, reps, seg_reps):
 
     def stack(trees):
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+    # Per-dispatch relay overhead (RTT of a trivial program), subtracted
+    # from each stage's dispatch time before dividing by seg_reps — the
+    # remainder is device compute + result-scalar transfer.
+    trivial = jax.jit(lambda s: s + 1.0)
+    t_rtt = timed(trivial, jnp.float32(0))
 
     glob_idx = set(ecfg.global_attn_indexes)
     win_blocks = stack(
@@ -116,19 +128,20 @@ def _segments_throughput(params, x, ecfg, attn_impl, reps, seg_reps):
     # --- embed / neck: scan over `seg_reps` perturbed copies of the input
     xs = jnp.stack([x + jnp.bfloat16(1e-3 * (i + 1)) for i in range(seg_reps)])
 
-    @jax.jit
-    def run_embed(p, xs):
+    def embed_scan(p, xs):
         def step(_, xi):
             return (), ie.embed(p, xi, ecfg)
 
         _, outs = jax.lax.scan(step, (), xs)
-        return outs[-1], jnp.mean(outs, axis=(2, 3))
+        return outs
 
-    (x_blk, _) = run_embed(params, xs)
-    t_embed = timed(lambda: run_embed(params, xs)) / seg_reps
+    embed_full = jax.jit(lambda p, xs: embed_scan(p, xs)[-1])
+    embed_timed = jax.jit(lambda p, xs: jnp.mean(embed_scan(p, xs)))
 
-    def block_stage(blocks, slot):
-        @jax.jit
+    x_blk = embed_full(params, xs)
+    t_embed = max(timed(embed_timed, params, xs) - t_rtt, 0.0) / seg_reps
+
+    def block_stage(slot):
         def run(bp, xb):
             def rep(x, _):
                 def step(x, blk):
@@ -144,28 +157,28 @@ def _segments_throughput(params, x, ecfg, attn_impl, reps, seg_reps):
             x, _ = jax.lax.scan(rep, xb, None, length=seg_reps)
             return x
 
-        return run
+        return jax.jit(run), jax.jit(lambda bp, xb: jnp.mean(run(bp, xb)))
 
-    run_win = block_stage(win_blocks, win_slot)
-    t_win = timed(lambda: run_win(win_blocks, x_blk)) / seg_reps
-    x_after = run_win(win_blocks, x_blk)
-    run_glob = block_stage(glob_blocks, glob_slot)
-    t_glob = timed(lambda: run_glob(glob_blocks, x_after)) / seg_reps
-    x_after = run_glob(glob_blocks, x_after)
+    win_full, win_timed = block_stage(win_slot)
+    t_win = max(timed(win_timed, win_blocks, x_blk) - t_rtt, 0.0) / seg_reps
+    x_after = win_full(win_blocks, x_blk)
+    glob_full, glob_timed = block_stage(glob_slot)
+    t_glob = max(timed(glob_timed, glob_blocks, x_after) - t_rtt, 0.0) / seg_reps
+    x_after = glob_full(glob_blocks, x_after)
 
     necks = jnp.stack(
         [x_after + jnp.bfloat16(1e-3 * (i + 1)) for i in range(seg_reps)]
     )
 
     @jax.jit
-    def run_neck(p, xs):
+    def neck_timed(p, xs):
         def step(_, xi):
-            return (), jnp.mean(ie.neck(p, xi, ecfg), axis=(1, 2))
+            return (), jnp.mean(ie.neck(p, xi, ecfg))
 
         _, outs = jax.lax.scan(step, (), xs)
         return outs
 
-    t_neck = timed(lambda: run_neck(params, necks)) / seg_reps
+    t_neck = max(timed(neck_timed, params, necks) - t_rtt, 0.0) / seg_reps
 
     total = t_embed + t_win + t_glob + t_neck
     print(
