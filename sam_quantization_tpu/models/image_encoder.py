@@ -233,10 +233,11 @@ def attention(
         attn_impl == "auto"
         and type(ctx) is type(NULL_CTX)  # FP/GPTQ only; FQ needs the hooks
         and jax.default_backend() == "tpu"
-        # Flash wins where eager materializes big logits (4.1× at L=4096);
-        # at window size (L=196) eager XLA is marginally faster (measured
-        # 1.53 vs 1.64 ms at ViT-H shapes) and costs one less Mosaic compile.
-        and L >= 1024
+        # Flash wins at L=4096 (4.1× over eager — logits stay in VMEM) and,
+        # since the augmented-contraction rewrite (bias folded into the q·k
+        # dot, multi-window batching), at window size too: measured
+        # 0.63 vs 0.73 ms/block bf16 and 0.96 vs 1.52 int4 at ViT-B shapes
+        # (tools/block_anatomy.py).
     )
     if use_flash:
         from sam_quantization_tpu.ops import flash_attention

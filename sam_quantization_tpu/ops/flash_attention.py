@@ -5,18 +5,33 @@ Counterpart of the reference's Triton flash-attention kernel
 softmax and indexes two precomputed bias tensors as ``rel_h[m, n // W]`` +
 ``rel_w[m, n % W]`` per element.
 
-TPU-first redesign: SAM's sequence lengths are structurally bounded (196
-tokens per 14×14 window, 4096 for the four global blocks — see
-build_sam.py:78), so the whole K/V block fits in VMEM and a **row-block**
-formulation is optimal: each program computes a full (BQ, L) logit tile,
-adds the decomposed bias via a broadcast-reshape (no per-element ``//``/``%``
-gathers — the (kh, kw) factorization is a plain reshape of the key axis),
-does one exact softmax, and hits the MXU twice. No online-softmax state, no
-rescaling passes, identical math.
+TPU-first redesign, two ideas:
 
-Shapes are padded to (sublane × lane) tiles: head_dim → 128 lanes with zero
-fill (contributes nothing to logits), key length → 128-multiples masked with
--inf before softmax.
+1. **Row-block, not online-softmax.** SAM's sequence lengths are
+   structurally bounded (196 tokens per 14×14 window, 4096 for the four
+   global blocks — build_sam.py:78), so the whole K/V block fits in VMEM and
+   each program computes a full (BQ, L) logit tile, does one exact softmax,
+   and hits the MXU twice. No online-softmax state, no rescaling passes.
+
+2. **The bias rides the contraction.** The decomposed bias
+   ``bias[m, n] = rel_h[m, n // kw] + rel_w[m, n % kw]`` is a rank-(kh+kw)
+   term, so it folds into the q·k dot by augmenting the contraction axis:
+
+       q_aug[m] = [q[m] * scale, rel_h[m, :], rel_w[m, :]]     (hd + kh + kw)
+       k_aug[n] = [k[n],        onehot(n // kw), onehot(n % kw)]
+
+   For the windowed blocks hd + kh + kw = 64/80 + 28 ≤ 128 — the bias lives
+   entirely in lanes the MXU was already burning as zero padding (head_dim
+   pads to 128), so it costs ZERO extra compute or bytes. For the global
+   blocks (hd + 128) it still beats the previous three-dot formulation
+   (one 256-lane contraction vs 128-lane qk plus two 128-lane one-hot bias
+   matmuls). This replaces the Triton kernel's per-element ``//``/``%``
+   gather indexing (fused_attention.py:232-239) with pure MXU work.
+
+Windowed attention batches several (window × head) entries per grid cell
+(``bw``) so each program has enough MXU work to hide latency; the (L, L)
+logits never touch HBM — the reason eager XLA loses at L=4096 and pays
+~4 extra HBM passes at L=196.
 """
 
 from __future__ import annotations
@@ -36,82 +51,110 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale, L, kh, kw):
-    """One (BQ, L) row block of attention for one (batch*head).
+def _attn_kernel(qa_ref, ka_ref, v_ref, o_ref, *, L, bw):
+    """``bw`` full (batch*head) attention problems per program.
 
-    q_ref: (1, BQ, Dp); k_ref/v_ref: (1, Lp, Dp); rh_ref: (1, BQ, KHp);
-    rw_ref: (1, BQ, KWp); o_ref: (1, BQ, Dp).
+    qa_ref/ka_ref: (bw, Lp, Da) augmented q/k; v_ref: (bw, Lp, Dp);
+    o_ref: (bw, Lp, Dp). The bias is already inside the contraction.
     """
-    q = q_ref[0]
-    k = k_ref[0]
+    Lp = qa_ref.shape[1]
+    for b in range(bw):
+        s = jax.lax.dot_general(
+            qa_ref[b],
+            ka_ref[b],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Lp, Lp)
+        if Lp > L:
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
+            s = s + jnp.where(col < L, 0.0, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
+        o_ref[b] = jnp.dot(p, v_ref[b], preferred_element_type=jnp.float32).astype(
+            o_ref.dtype
+        )
+
+
+def _attn_kernel_rowblock(qa_ref, ka_ref, v_ref, o_ref, *, L):
+    """One (BQ, L) row block for one (batch*head) — the long-L (global
+    attention) shape where a full problem per program would not fit VMEM."""
     s = jax.lax.dot_general(
-        q,
-        k,
+        qa_ref[0],
+        ka_ref[0],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (BQ, Lp)
-    s = s * scale
-    BQ, Lp = s.shape
-    # Decomposed rel-pos bias: bias[m, n] = rel_h[m, n // kw] + rel_w[m, n % kw].
-    # Expressed as two one-hot selector matmuls (MXU work, no lane shuffles):
-    #   bias = rel_h @ Eh + rel_w @ Ew,  Eh[i, n] = [n // kw == i],
-    #                                    Ew[j, n] = [n %  kw == j]
-    # — the TPU-native form of the Triton kernel's per-element indexing
-    # (fused_attention.py:232-239). Padded key columns get -inf.
-    rh = rh_ref[0].astype(jnp.float32)  # (BQ, KHp)
-    rw = rw_ref[0].astype(jnp.float32)  # (BQ, KWp)
-    khp, kwp = rh.shape[1], rw.shape[1]
-    ids_n_h = jax.lax.broadcasted_iota(jnp.int32, (khp, Lp), 1)
-    ids_k_h = jax.lax.broadcasted_iota(jnp.int32, (khp, Lp), 0)
-    eh = ((ids_n_h // kw == ids_k_h) & (ids_n_h < L)).astype(jnp.float32)
-    ids_n_w = jax.lax.broadcasted_iota(jnp.int32, (kwp, Lp), 1)
-    ids_k_w = jax.lax.broadcasted_iota(jnp.int32, (kwp, Lp), 0)
-    ew = ((ids_n_w % kw == ids_k_w) & (ids_n_w < L)).astype(jnp.float32)
-    bias = jnp.dot(rh, eh, preferred_element_type=jnp.float32) + jnp.dot(
-        rw, ew, preferred_element_type=jnp.float32
-    )
-    if Lp > L:
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
-        bias = bias + jnp.where(col < L, 0.0, NEG_INF)
-    s = s + bias
+    if s.shape[1] > L:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+        s = s + jnp.where(col < L, 0.0, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v_ref.dtype)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
     o_ref[0] = jnp.dot(p, v_ref[0], preferred_element_type=jnp.float32).astype(
         o_ref.dtype
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "kh", "kw", "L", "block_q", "interpret")
+    jax.jit, static_argnames=("L", "bw", "block_q", "interpret")
 )
-def _fused_attention(q, k, v, rel_h, rel_w, *, scale, kh, kw, L, block_q, interpret):
-    BH, Lqp, Dp = q.shape
-    grid = (BH, Lqp // block_q)
-    flops = 4 * BH * L * L * Dp
+def _fused_attention(qa, ka, v, *, L, bw, block_q, interpret):
+    BH, Lp, Da = qa.shape
+    Dp = v.shape[2]
+    flops = 2 * BH * Lp * Lp * (Da + Dp)
+    if bw > 1:
+        grid = (BH // bw,)
+        return pl.pallas_call(
+            functools.partial(_attn_kernel, L=L, bw=bw),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bw, Lp, Da), lambda i: (i, 0, 0)),
+                pl.BlockSpec((bw, Lp, Da), lambda i: (i, 0, 0)),
+                pl.BlockSpec((bw, Lp, Dp), lambda i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((bw, Lp, Dp), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((BH, Lp, Dp), qa.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=BH * Lp * (2 * Da + 2 * Dp) * qa.dtype.itemsize,
+                transcendentals=BH * Lp * Lp,
+            ),
+            interpret=interpret,
+        )(qa, ka, v)
+    grid = (BH, Lp // block_q)
     return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, L=L, kh=kh, kw=kw),
+        functools.partial(_attn_kernel_rowblock, L=L),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, k.shape[1], Dp), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, k.shape[1], Dp), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, block_q, rel_h.shape[2]), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q, rel_w.shape[2]), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, Da), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Lp, Da), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Lp, Dp), lambda b, i: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((BH, Lqp, Dp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BH, Lp, Dp), qa.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=3 * BH * L * Dp * q.dtype.itemsize,
-            transcendentals=BH * L * L,
+            bytes_accessed=BH * Lp * (2 * Da + 2 * Dp) * qa.dtype.itemsize,
+            transcendentals=BH * Lp * Lp,
         ),
         interpret=interpret,
-    )(q, k, v, rel_h, rel_w)
+    )(qa, ka, v)
+
+
+def _selector_columns(L: int, kh: int, kw: int, dtype) -> jax.Array:
+    """(L, kh + kw) one-hot selectors: column block h is onehot(n // kw),
+    block w is onehot(n % kw) — the k-side of the augmented contraction."""
+    n = jnp.arange(L)
+    eh = jax.nn.one_hot(n // kw, kh, dtype=dtype)
+    ew = jax.nn.one_hot(n % kw, kw, dtype=dtype)
+    return jnp.concatenate([eh, ew], axis=-1)
 
 
 def flash_attention_relpos(
@@ -142,35 +185,43 @@ def flash_attention_relpos(
     elif kv_size is not None:
         kh, kw = kv_size
     else:
-        kh, kw = 1, L
-    assert kh * kw == L, (kh, kw, L)
+        kh, kw = 0, 0
 
     BH = B * nh
     Dp = _round_up(hd, 128)
     Lp = _round_up(L, 128)
-    block_q = min(Lp, 256 if L > 1024 else Lp)
+    Da = _round_up(hd + kh + kw, 128)
 
-    def prep(x):
-        x = x.reshape(BH, L, hd)
-        return jnp.pad(x, ((0, 0), (0, Lp - L), (0, Dp - hd)))
-
-    qp, kp, vp = prep(q), prep(k), prep(v)
-    if rel_h is None:
-        rel_h = jnp.zeros((BH, Lp, 128), q.dtype)
-        rel_w = jnp.zeros((BH, Lp, _round_up(kw, 128)), q.dtype)
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype).reshape(BH, L, hd)
+    ks = k.reshape(BH, L, hd)
+    if rel_h is not None:
+        qa = jnp.concatenate(
+            [qs, rel_h.reshape(BH, L, kh), rel_w.reshape(BH, L, kw)], axis=-1
+        )
+        sel = jnp.broadcast_to(
+            _selector_columns(L, kh, kw, k.dtype)[None], (BH, L, kh + kw)
+        )
+        ka = jnp.concatenate([ks, sel], axis=-1)
     else:
-        rel_h = jnp.pad(
-            rel_h.reshape(BH, L, kh),
-            ((0, 0), (0, Lp - L), (0, _round_up(kh, 128) - kh)),
-        )
-        rel_w = jnp.pad(
-            rel_w.reshape(BH, L, kw),
-            ((0, 0), (0, Lp - L), (0, _round_up(kw, 128) - kw)),
-        )
+        qa, ka = qs, ks
+    qa = jnp.pad(qa, ((0, 0), (0, Lp - L), (0, Da - qa.shape[-1])))
+    ka = jnp.pad(ka, ((0, 0), (0, Lp - L), (0, Da - ka.shape[-1])))
+    vp = jnp.pad(v.reshape(BH, L, hd), ((0, 0), (0, Lp - L), (0, Dp - hd)))
+
+    # Whole-problem batching for short (windowed) sequences; row blocks for
+    # the long global sequence. VMEM budget per program ~4 MB.
+    if L <= 512:
+        per_entry = Lp * (2 * Da + 2 * Dp) * 2 + Lp * Lp * 4
+        bw = max(1, min(8, (4 << 20) // per_entry))
+        while BH % bw:
+            bw -= 1
+        block_q = Lp
+    else:
+        bw = 1
+        block_q = min(Lp, 256)
 
     out = _fused_attention(
-        qp, kp, vp, rel_h, rel_w,
-        scale=scale, kh=kh, kw=kw, L=L, block_q=block_q, interpret=interpret,
+        qa, ka, vp, L=L, bw=bw, block_q=block_q, interpret=interpret
     )
     return out[:, :L, :hd].reshape(B, nh, L, hd)
 

@@ -1,0 +1,97 @@
+"""Parity tests for the fused attention kernel (interpret mode, CPU).
+
+Pattern of the reference's own kernel self-test
+(gptq_triton/fused_attention.py:363-418): same-shape kernel-vs-eager
+comparison at SAM's two structural shapes — the 14x14 window (L=196, the
+whole-problem-batched path) and a long global sequence (the row-block path).
+The augmented-contraction bias formulation (q||rel tiles vs k||one-hot
+selectors) must match the eager broadcast-add bias exactly up to bf16 dot
+rounding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sam_quantization_tpu.ops.flash_attention import (
+    attention_reference,
+    flash_attention_relpos,
+)
+
+
+def _mk(rng, B, nh, L, hd, kh, kw, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(rng), 5)
+    q = jax.random.normal(ks[0], (B, nh, L, hd), dtype) * 0.5
+    k = jax.random.normal(ks[1], (B, nh, L, hd), dtype) * 0.5
+    v = jax.random.normal(ks[2], (B, nh, L, hd), dtype)
+    rel_h = jax.random.normal(ks[3], (B, nh, L, kh), dtype) * 0.3
+    rel_w = jax.random.normal(ks[4], (B, nh, L, kw), dtype) * 0.3
+    return q, k, v, rel_h, rel_w
+
+
+@pytest.mark.parametrize(
+    "B,nh,L,hd,kh,kw",
+    [
+        (3, 2, 196, 80, 14, 14),  # ViT-H windowed (batched whole-problem path)
+        (2, 2, 196, 64, 14, 14),  # ViT-B/L windowed
+        (1, 2, 1024, 64, 32, 32),  # long sequence (row-block path)
+    ],
+)
+def test_flash_matches_eager(B, nh, L, hd, kh, kw):
+    q, k, v, rel_h, rel_w = _mk(0, B, nh, L, hd, kh, kw)
+    out = flash_attention_relpos(
+        q, k, v, rel_h, rel_w, hd**-0.5, interpret=True
+    )
+    ref = attention_reference(q, k, v, rel_h, rel_w, hd**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_flash_no_relpos():
+    q, k, v, _, _ = _mk(1, 2, 2, 196, 64, 14, 14)
+    out = flash_attention_relpos(q, k, v, None, None, 0.125, interpret=True)
+    ref = attention_reference(q, k, v, None, None, 0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_flash_bf16_window():
+    q, k, v, rel_h, rel_w = _mk(2, 2, 2, 196, 80, 14, 14)
+    cast = lambda t: t.astype(jnp.bfloat16)
+    out = flash_attention_relpos(
+        cast(q), cast(k), cast(v), cast(rel_h), cast(rel_w), 80**-0.5,
+        interpret=True,
+    )
+    ref = attention_reference(q, k, v, rel_h, rel_w, 80**-0.5)
+    assert jnp.mean(jnp.abs(out.astype(jnp.float32) - ref)) < 2e-2
+    # cosine similarity, the reference self-test's metric
+    a = np.asarray(out, np.float32).ravel()
+    b = np.asarray(ref, np.float32).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.999
+
+
+def test_flash_through_encoder_attention():
+    """attn_impl='flash' vs 'xla' through the real encoder attention at a
+    windowed shape (includes qkv/proj and the rel-pos tile precompute)."""
+    from sam_quantization_tpu.models import image_encoder as ie
+    from sam_quantization_tpu.models.configs import VIT_TINY
+
+    cfg = VIT_TINY.image_encoder
+    key = jax.random.PRNGKey(0)
+    p = ie.init_block(key, cfg, 0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, cfg.embed_dim))
+    xw, _ = ie.window_partition(x, cfg.window_size)
+    import sam_quantization_tpu.ops.flash_attention as fa
+
+    orig = fa._fused_attention
+    try:
+        fa._fused_attention = lambda *a, **kw: orig(
+            *a, **{**kw, "interpret": True}
+        )
+        out_flash = ie.attention(p["attn"], xw, cfg, attn_impl="flash")
+    finally:
+        fa._fused_attention = orig
+    out_xla = ie.attention(p["attn"], xw, cfg, attn_impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_xla), atol=3e-3
+    )
