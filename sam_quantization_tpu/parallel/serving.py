@@ -11,17 +11,21 @@ this module provides one, TPU-style:
   * decodes run as one batched fixed-shape program over the same batch;
   * results resolve per-request futures.
 
-Scope: this server is single-host — one dispatcher thread, one queue, with
-an optional dp sharding of the batch over a local mesh. On a multi-host
-deployment each host would run its own SamServer over the global mesh's
-local slice and feed it host-local requests (the GSPMD program is identical
-across hosts; `data.datasets.shard_indices` is the request-sharding
-counterpart) — that orchestration is NOT implemented here.
+Two servers:
+
+  * :class:`SamServer` — single-host: one dispatcher thread, one queue, with
+    an optional dp sharding of the batch over a local mesh.
+  * :class:`MultiHostSamServer` — the pod deployment: every process runs one
+    over the SAME global mesh and drives it in lockstep ticks (the SPMD
+    serving model — the jitted program is identical on every host, only the
+    host-local request slices differ). Tested by a real 2-process run in
+    tests/test_multiprocess.py.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 import queue
 import threading
 import time
@@ -42,6 +46,21 @@ class SamRequest:
     point_coords: np.ndarray  # (N, 2) xy in model frame
     point_labels: np.ndarray  # (N,)
     future: Future = dataclasses.field(default_factory=Future)
+
+
+def _pack_requests(requests: List[SamRequest], batch: int, size: int):
+    """Pad a request list into fixed-shape (images, coords, labels) arrays.
+    Unused point slots carry label -1 (the prompt encoder's pad code)."""
+    images = np.zeros((batch, size, size, 3), np.float32)
+    coords = np.zeros((batch, MAX_POINTS, 2), np.float32)
+    labels = -np.ones((batch, MAX_POINTS), np.float32)
+    for i, r in enumerate(requests):
+        h, w = r.image.shape[:2]
+        images[i, :h, :w] = r.image
+        k = min(len(r.point_coords), MAX_POINTS)
+        coords[i, :k] = r.point_coords[:k]
+        labels[i, :k] = r.point_labels[:k]
+    return images, coords, labels
 
 
 class SamServer:
@@ -108,18 +127,9 @@ class SamServer:
     # -- batching core -----------------------------------------------------
 
     def process_batch(self, requests: List[SamRequest]):
-        n = len(requests)
-        B = self.max_batch
-        S = self._size
-        images = np.zeros((B, S, S, 3), np.float32)
-        coords = np.zeros((B, MAX_POINTS, 2), np.float32)
-        labels = -np.ones((B, MAX_POINTS), np.float32)
-        for i, r in enumerate(requests):
-            h, w = r.image.shape[:2]
-            images[i, :h, :w] = r.image
-            k = min(len(r.point_coords), MAX_POINTS)
-            coords[i, :k] = r.point_coords[:k]
-            labels[i, :k] = r.point_labels[:k]
+        images, coords, labels = _pack_requests(
+            requests, self.max_batch, self._size
+        )
         images_j = jnp.asarray(images)
         if self._dp_sharding is not None:
             images_j = jax.device_put(images_j, self._dp_sharding)
@@ -155,3 +165,114 @@ class SamServer:
                 for r in batch:
                     if not r.future.done():
                         r.future.set_exception(e)
+
+
+class MultiHostSamServer:
+    """Continuous batching of images ACROSS HOSTS (SURVEY §7's serving
+    target), as it runs on a real pod: every process constructs one of these
+    over the same global mesh and calls :meth:`tick` at the same rate —
+    lockstep SPMD serving.
+
+    Per tick, each host drains up to ``per_host_batch`` requests from its
+    local queue; the padded host slices assemble into ONE global dp-sharded
+    batch (``jax.make_array_from_process_local_data`` — every transfer is
+    host-local), one GSPMD encoder→decoder program runs over the mesh (XLA
+    inserts the ICI/DCN collectives), and each host resolves its own
+    futures from its addressable output shards. A one-scalar allgather lets
+    all hosts skip empty ticks collectively, so an idle pod burns no encoder
+    FLOPs while staying in lockstep.
+    """
+
+    def __init__(
+        self,
+        model: sam_lib.Sam,
+        mesh,
+        per_host_batch: int = 4,
+        multimask_output: bool = False,
+    ):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.model = model
+        self.mesh = mesh
+        self.per_host = per_host_batch
+        self._queue: "queue.Queue[SamRequest]" = queue.Queue()
+        self._size = model.config.image_encoder.img_size
+        self._in_sharding = NamedSharding(mesh, P("dp"))
+        self._global_batch = per_host_batch * jax.process_count()
+        dp = mesh.shape["dp"]
+        assert self._global_batch % dp == 0, (
+            f"global batch {self._global_batch} must divide over dp={dp}"
+        )
+
+        @functools.partial(
+            jax.jit, out_shardings=NamedSharding(mesh, P("dp"))
+        )
+        def run(images, coords, labels):
+            emb = sam_lib.encode_image(
+                model, sam_lib.preprocess(model, images)
+            )
+            return sam_lib.decode_masks(
+                model, emb, points=(coords, labels),
+                multimask_output=multimask_output,
+            )
+
+        self._run = run
+
+    def submit(self, image, point_coords, point_labels) -> Future:
+        req = SamRequest(
+            image=np.asarray(image),
+            point_coords=np.asarray(point_coords, np.float32),
+            point_labels=np.asarray(point_labels, np.float32),
+        )
+        self._queue.put(req)
+        return req.future
+
+    def pending(self) -> int:
+        return self._queue.qsize()
+
+    def _host_rows(self, garr) -> np.ndarray:
+        """This host's batch rows of a P('dp')-sharded global output,
+        reassembled from addressable shards (tp-replicated copies deduped
+        by batch offset)."""
+        seen = {}
+        for s in garr.addressable_shards:
+            start = s.index[0].start or 0
+            if start not in seen:
+                seen[start] = np.asarray(s.data)
+        return np.concatenate([seen[k] for k in sorted(seen)], axis=0)
+
+    def tick(self) -> int:
+        """One collective serving step; every process must call in lockstep.
+        Returns the number of host-local requests served this tick."""
+        from jax.experimental import multihost_utils
+
+        batch: List[SamRequest] = []
+        while len(batch) < self.per_host:
+            try:
+                batch.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        total = int(
+            np.sum(multihost_utils.process_allgather(np.int32(len(batch))))
+        )
+        if total == 0:
+            return 0
+        images, coords, labels = _pack_requests(
+            batch, self.per_host, self._size
+        )
+        to_global = functools.partial(
+            jax.make_array_from_process_local_data, self._in_sharding
+        )
+        try:
+            low_res, iou = self._run(
+                to_global(images), to_global(coords), to_global(labels)
+            )
+            low_np = self._host_rows(low_res)
+            iou_np = self._host_rows(iou)
+            for i, r in enumerate(batch):
+                r.future.set_result((low_np[i], iou_np[i]))
+        except Exception as e:  # pragma: no cover
+            for r in batch:
+                if not r.future.done():
+                    r.future.set_exception(e)
+        return len(batch)

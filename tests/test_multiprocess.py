@@ -118,6 +118,69 @@ print(f"gspmd worker {pid} OK loss={loss:.4f} err={err:.2e}", flush=True)
 """
 
 
+SERVE_WORKER = r"""
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+coordinator, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(
+    coordinator_address=coordinator, num_processes=2, process_id=pid
+)
+
+import jax.numpy as jnp
+import numpy as np
+
+from sam_quantization_tpu.models import sam as sam_lib
+from sam_quantization_tpu.models.configs import VIT_TINY
+from sam_quantization_tpu.parallel import mesh as mesh_lib
+from sam_quantization_tpu.parallel.serving import MultiHostSamServer
+
+model = sam_lib.init(jax.random.PRNGKey(0), VIT_TINY)  # identical on both hosts
+mesh = mesh_lib.make_mesh(8, tp=2)  # dp=4 x tp=2 across 2 processes
+model = mesh_lib.shard_params(model, mesh, mesh_lib.sam_param_specs(model))
+
+srv = MultiHostSamServer(model, mesh, per_host_batch=2)
+S = VIT_TINY.image_encoder.img_size
+rng = np.random.default_rng(100 + pid)  # DIFFERENT requests per host
+n_req = 3 if pid == 0 else 1
+reqs = []
+for i in range(n_req):
+    img = rng.uniform(0, 255, (S, S, 3)).astype(np.float32)
+    pts = np.array([[S * 0.3 + i, S * 0.6]], np.float32)
+    lbl = np.array([1.0], np.float32)
+    reqs.append((img, pts, lbl, srv.submit(img, pts, lbl)))
+
+# lockstep ticks: 2 serve every pending request (host0: 2+1, host1: 1+0),
+# the 3rd is collectively skipped (total pending 0 -> no program dispatch)
+served = [srv.tick() for _ in range(3)]
+assert sum(served) == n_req, (served, n_req)
+assert served[2] == 0, served
+
+# single-host reference on replicated params: the same request through the
+# plain jitted encode->decode must match the GSPMD-served result
+for img, pts, lbl, fut in reqs:
+    low, iou = fut.result(timeout=5)
+    emb = sam_lib.encode_image(model, sam_lib.preprocess(model, jnp.asarray(img[None])))
+    ref_low, ref_iou = sam_lib.decode_masks(
+        model, emb,
+        points=(jnp.asarray(np.pad(pts, ((0, 23), (0, 0)))[None]),
+                jnp.asarray(np.pad(lbl, (0, 23), constant_values=-1.0)[None])),
+        multimask_output=False,
+    )
+    err = np.abs(low - np.asarray(ref_low)[0]).max() / (
+        np.abs(ref_low).max() + 1e-9)
+    assert err < 2e-3, err
+    assert np.allclose(iou, np.asarray(ref_iou)[0], atol=2e-3)
+print(f"serve worker {pid} OK served={served}", flush=True)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -160,3 +223,12 @@ def test_two_process_gspmd_sharded_model():
     and one dp x tp train step with cross-process GSPMD collectives
     (VERDICT r1 item 6 / weak #5)."""
     _run_two_workers(GSPMD_WORKER, "gspmd worker {pid} OK", timeout=600)
+
+
+def test_two_process_multihost_serving():
+    """Cross-host continuous batching (VERDICT r1 weak #8): two processes in
+    lockstep ticks, uneven per-host queues, one GSPMD encode->decode over a
+    dp=4 x tp=2 mesh per tick, per-host futures resolved from addressable
+    shards and checked against the plain jitted single-call numerics; the
+    final tick (nothing pending anywhere) is collectively skipped."""
+    _run_two_workers(SERVE_WORKER, "serve worker {pid} OK", timeout=600)
