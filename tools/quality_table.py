@@ -35,7 +35,12 @@ def parse_args(argv=None):
     p.add_argument("--out", default="QUALITY.json")
     p.add_argument(
         "--configs", nargs="*",
-        default=["fp32", "gptq_int4", "gptq_int3", "rtn_int4", "fq_int8"],
+        default=["fp32", "gptq_int4", "gptq_int3", "rtn_int4", "fq_int8",
+                 "a8_serving"],
+    )
+    p.add_argument(
+        "--merge", action="store_true",
+        help="merge rows into an existing --out file instead of replacing it",
     )
     return p.parse_args(argv)
 
@@ -96,6 +101,25 @@ def main(argv=None):
                 model.image_encoder, gptq.GPTQConfig(bits=bits, groupsize=32)
             )
             return sam_lib.Sam(enc, model.prompt_encoder, model.mask_decoder, cfg), None
+        if name == "a8_serving":
+            # The headline serving config (BENCHMARKS.md round 2): GPTQ
+            # INT4-sym weights requantized to cached per-channel int8 +
+            # calibrated static activation scales + per-op bf16 routing —
+            # exactly what bare bench.py times on ViT-H.
+            from sam_quantization_tpu.nn.packed import cache_int8
+            from sam_quantization_tpu.quant.act_scales import (
+                calibrate_act_scales,
+            )
+
+            qcfg = gptq.GPTQConfig(bits=4, groupsize=32, sym=True)
+            enc, _losses = sequential.gptq_quantize_encoder(
+                model.image_encoder, cfg.image_encoder, calib_imgs, qcfg
+            )
+            scales = calibrate_act_scales(
+                model.image_encoder, cfg.image_encoder, calib_imgs, margin=1.1
+            )
+            enc = cache_int8(enc, act_scales=scales)
+            return sam_lib.Sam(enc, model.prompt_encoder, model.mask_decoder, cfg), None
         if name == "fq_int8":
             from sam_quantization_tpu.quant.fq.pipeline import (
                 FQConfig, calibrate_sam, quantize_sam,
@@ -150,6 +174,11 @@ def main(argv=None):
         "eval_samples": args.eval_samples,
         "rows": rows,
     }
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+        prev["rows"].update(rows)
+        out = prev
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({"status": "ok", "out": args.out}))
