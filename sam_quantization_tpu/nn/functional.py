@@ -94,9 +94,30 @@ def conv2d(
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
+    w = p["w"]
+    kh, kw, I, O = w.shape
+    B, H, W, C = x.shape
+    if (
+        (kh, kw) == tuple(stride)
+        and padding == ((0, 0), (0, 0))
+        and H % kh == 0
+        and W % kw == 0
+    ):
+        # Non-overlapping patch conv (SAM's 16×16/stride-16 patch embed) is
+        # exactly space-to-depth + one MXU matmul — identical math, but it
+        # cannot hit a slow convolution lowering.
+        xp = x.reshape(B, H // kh, kh, W // kw, kw, C)
+        xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(
+            B, H // kh, W // kw, kh * kw * C
+        )
+        y = xp @ w.reshape(kh * kw * I, O).astype(x.dtype)
+        b = p.get("b")
+        if b is not None:
+            y = y + b.astype(y.dtype)
+        return y
     y = jax.lax.conv_general_dilated(
         x,
-        p["w"].astype(x.dtype),
+        w.astype(x.dtype),
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
