@@ -198,6 +198,17 @@ def _segments_throughput(params, x, ecfg, attn_impl, reps, seg_reps):
 
 
 def main():
+    if len(sys.argv) == 1:
+        # Bare invocation (the driver's end-of-round run): measure the
+        # headline config — BASELINE.json's metric is images/s/chip for the
+        # ViT-H encoder, and the int8-MXU serving mode (cached int8 weights,
+        # static act scales, per-op routing) is the quantized config that
+        # beats bf16 (BENCHMARKS.md round 2). --segments keeps every program
+        # small enough for the axon remote-compile helper.
+        sys.argv += ["--model", "vit_h", "--segments", "--a8-cached",
+                     "--static-act"]
+        print("[bench] no args: headline ViT-H int8-serving config",
+              file=sys.stderr, flush=True)
     ap = argparse.ArgumentParser()
     # default vit_b: in the axon environment a ViT-H first-compile alone takes
     # ~an hour through the remote-compile helper; ViT-B exercises the exact
@@ -236,6 +247,10 @@ def main():
     ap.add_argument("--static-act", action="store_true",
                     help="with --a8-cached: calibrate static activation "
                          "scales (no per-token amax reduction)")
+    ap.add_argument("--keep-packed-mlp", action="store_true",
+                    help="with --a8-cached: keep mlp lin1/lin2 as packed "
+                         "int4 so the fused Pallas MLP handles them "
+                         "(hidden acts stay in VMEM) instead of IntLinear")
     args = ap.parse_args()
 
     from sam_quantization_tpu.models import image_encoder
@@ -284,23 +299,46 @@ def main():
 
         act_scales = None
         if args.static_act:
-            from sam_quantization_tpu.quant.act_scales import calibrate_act_scales
+            # The bench model is deterministic (PRNGKey(0) init, PRNGKey(1)
+            # calibration input), so the calibrated scales are a pure
+            # function of the model name — cache them in a committed JSON
+            # (the CPU calibration pass takes ~8 min at ViT-H).
+            cache_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_act_scales.json",
+            )
+            table = {}
+            if os.path.exists(cache_path):
+                with open(cache_path) as f:
+                    table = json.load(f)
+            if args.model in table:
+                act_scales = table[args.model]
+            else:
+                from sam_quantization_tpu.quant.act_scales import (
+                    calibrate_act_scales,
+                )
 
-            print("[bench] calibrating static act scales (CPU backend)...",
-                  file=sys.stderr, flush=True)
-            # The amax-capture ctx disables the scanned-block path, so the
-            # traced program is the full unrolled encoder — too big for the
-            # axon remote-compile helper at ViT-H. Calibration is a
-            # correctness pass, not a timed one: run it on the CPU backend.
-            with jax.default_device(jax.devices("cpu")[0]):
-                calib = jax.random.normal(
-                    jax.random.PRNGKey(1), (1, size, size, 3), jnp.bfloat16
-                )
-                cparams = jax.device_put(params, jax.devices("cpu")[0])
-                act_scales = calibrate_act_scales(
-                    cparams, ecfg, [calib], margin=1.1
-                )
-        qparams = cache_int8(qparams, act_scales=act_scales)
+                print("[bench] calibrating static act scales (CPU backend)...",
+                      file=sys.stderr, flush=True)
+                # The amax-capture ctx disables the scanned-block path, so the
+                # traced program is the full unrolled encoder — too big for the
+                # axon remote-compile helper at ViT-H. Calibration is a
+                # correctness pass, not a timed one: run it on the CPU backend.
+                with jax.default_device(jax.devices("cpu")[0]):
+                    calib = jax.random.normal(
+                        jax.random.PRNGKey(1), (1, size, size, 3), jnp.bfloat16
+                    )
+                    cparams = jax.device_put(params, jax.devices("cpu")[0])
+                    act_scales = calibrate_act_scales(
+                        cparams, ecfg, [calib], margin=1.1
+                    )
+                table[args.model] = act_scales
+                with open(cache_path, "w") as f:
+                    json.dump(table, f, indent=1, sort_keys=True)
+        qparams = cache_int8(
+            qparams, act_scales=act_scales,
+            keep_packed=("mlp.",) if args.keep_packed_mlp else (),
+        )
     elif args.a8:
         from sam_quantization_tpu.nn.packed import with_act_bits
 
@@ -324,7 +362,7 @@ def main():
     tag = f"int{args.bits}" + (
         ("_a8static" if args.static_act else "_a8cached") if args.a8_cached
         else "_a8" if args.a8 else ""
-    )
+    ) + ("_kpmlp" if args.keep_packed_mlp else "")
     print(f"[bench] {tag}: {q_ips:.3f} img/s", file=sys.stderr, flush=True)
 
     print(

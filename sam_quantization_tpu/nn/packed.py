@@ -270,6 +270,7 @@ def cache_int8(
     act_scales: Optional[dict] = None,
     per_channel: bool = True,
     skip: Optional[Iterable[str]] = ("attn.proj",),
+    keep_packed: Iterable[str] = (),
 ):
     """Convert every *symmetric* PackedLinear in a pytree to IntLinear
     (pre-unpacked int8 weights for the native int8-MXU serving mode).
@@ -291,10 +292,22 @@ def cache_int8(
     wins on qkv/lin1/lin2 (1.2–1.6×) but *loses* on the small square
     attn.proj (0.82×, tools/microbench_a8.py), where the activation
     quantize pass outweighs the dot speedup.
+
+    ``keep_packed``: layer-path substrings left as PackedLinear (not
+    converted) so the fused dequant kernels keep handling them. Measured
+    (ViT-H, keep_packed=("mlp.",)): the fused Pallas MLP wins in an
+    isolated carried scan (0.58 vs 0.66 ms/block, tools/block_anatomy.py)
+    but LOSES inside the full scanned block stage (56.2 vs 50.1 ms/img
+    windowed — XLA overlaps the IntLinear int8 dots with the surrounding
+    ops better than it can around an opaque pallas_call). Default off.
     """
     from sam_quantization_tpu.nn import packed as _p
 
     def walk(node, path=""):
+        if isinstance(node, PackedLinear) and any(
+            s in path for s in keep_packed
+        ):
+            return node
         if (
             isinstance(node, PackedLinear)
             and node.sym
