@@ -167,6 +167,8 @@ def flash_attention_relpos(
     *,
     kv_size: Optional[Tuple[int, int]] = None,
     interpret: bool = False,
+    bw_override: Optional[int] = None,
+    block_q_override: Optional[int] = None,
 ) -> jax.Array:
     """Self-attention with decomposed rel-pos bias.
 
@@ -219,6 +221,10 @@ def flash_attention_relpos(
     else:
         bw = 1
         block_q = min(Lp, 256)
+    if bw_override is not None and BH % bw_override == 0:
+        bw = bw_override
+    if block_q_override is not None and bw == 1 and Lp % block_q_override == 0:
+        block_q = block_q_override
 
     out = _fused_attention(
         qa, ka, vp, L=L, bw=bw, block_q=block_q, interpret=interpret
