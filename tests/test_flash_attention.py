@@ -47,6 +47,21 @@ def test_flash_matches_eager(B, nh, L, hd, kh, kw):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
 
+@pytest.mark.parametrize("bw,block_q", [(2, None), (6, None), (None, 128)])
+def test_flash_dispatch_overrides(bw, block_q):
+    """bw/block_q overrides (tools/flash_sweep.py knobs) keep exact parity
+    with the default dispatch — they only re-tile the grid."""
+    L = 196 if block_q is None else 1024
+    kh = kw = 14 if block_q is None else 32
+    q, k, v, rel_h, rel_w = _mk(3, 3, 2, L, 64, kh, kw)
+    out = flash_attention_relpos(
+        q, k, v, rel_h, rel_w, 0.125, interpret=True,
+        bw_override=bw, block_q_override=block_q,
+    )
+    ref = attention_reference(q, k, v, rel_h, rel_w, 0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
 def test_flash_no_relpos():
     q, k, v, _, _ = _mk(1, 2, 2, 196, 64, 14, 14)
     out = flash_attention_relpos(q, k, v, None, None, 0.125, interpret=True)
