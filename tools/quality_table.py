@@ -88,11 +88,37 @@ def main(argv=None):
         """Returns (model_with_quantized_encoder, ctx factory or None)."""
         if name == "fp32":
             return model, None
-        if name.startswith("gptq_int"):
+        if name.startswith("gptq_int") and not name.endswith("_mixed"):
             bits = int(name[-1])
             qcfg = gptq.GPTQConfig(bits=bits, groupsize=32)
             enc, _losses = sequential.gptq_quantize_encoder(
                 model.image_encoder, cfg.image_encoder, calib_imgs, qcfg
+            )
+            return sam_lib.Sam(enc, model.prompt_encoder, model.mask_decoder, cfg), None
+        if name in ("rtn_int2u", "rtn_int2u_mixed"):
+            # Diagnose → act (the PPQ flow, script/analysis.py:596-625 →
+            # custimized_quant.py): ungrouped RTN INT2 is the crudest config;
+            # the _mixed variant runs layerwise SNR on it and bumps the worst
+            # quarter of ops to 8-bit — demonstrating the per-op override
+            # capability recovering quality the base config loses.
+            from sam_quantization_tpu.quant.analysis import (
+                layerwise_error_analyse,
+            )
+            from sam_quantization_tpu.quant.overrides import QuantOverrides
+
+            qcfg = gptq.GPTQConfig(bits=2, groupsize=0)
+            ov = None
+            if name.endswith("_mixed"):
+                q2 = sequential.rtn_quantize_encoder(model.image_encoder, qcfg)
+                lw = layerwise_error_analyse(
+                    model.image_encoder, q2, cfg.image_encoder, calib_imgs[:2]
+                )
+                n_bump = max(1, len(lw) // 4)
+                ov = QuantOverrides.bump_worst_snr(lw, k=n_bump, bits=8)
+                print(f"  bumped {n_bump} worst-SNR ops to 8-bit:",
+                      [r[0] for r in ov.rules])
+            enc = sequential.rtn_quantize_encoder(
+                model.image_encoder, qcfg, overrides=ov
             )
             return sam_lib.Sam(enc, model.prompt_encoder, model.mask_decoder, cfg), None
         if name.startswith("rtn_int"):
