@@ -75,6 +75,15 @@ class Handler(BaseHTTPRequestHandler):
             self._send(404, b"{}")
 
     def do_POST(self):
+        try:
+            self._do_post()
+        except (KeyError, ValueError, TypeError) as e:
+            self._send(
+                400,
+                json.dumps({"error": f"bad request: {e!r}"}).encode(),
+            )
+
+    def _do_post(self):
         n = int(self.headers.get("Content-Length", 0))
         payload = json.loads(self.rfile.read(n))
         if self.path == "/set_image":
