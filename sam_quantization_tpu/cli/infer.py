@@ -17,6 +17,13 @@ def main(argv=None):
     p.add_argument("model", choices=["vit_b", "vit_l", "vit_h", "vit_tiny"])
     p.add_argument("--checkpoint", default=None, help="FP .pth checkpoint")
     p.add_argument("--load", default=None, help="quantized artifact dir")
+    p.add_argument(
+        "--serve-int8", action="store_true",
+        help="convert the loaded symmetric-GPTQ/RTN encoder to the "
+        "int8-MXU serving mode (cached int8 weights + the artifact's "
+        "static activation scales + per-op bf16 routing) — the headline "
+        "config in BENCHMARKS.md",
+    )
     p.add_argument("--benchmark", action="store_true")
     p.add_argument("--bench-iters", type=int, default=100)
     p.add_argument("--bench-warmup", type=int, default=25)
@@ -45,6 +52,28 @@ def main(argv=None):
             config=model.config,
         )
         print(f"loaded quantized encoder: {qcfg.get('method')}", file=sys.stderr)
+        if args.serve_int8:
+            if qcfg.get("method") not in ("gptq", "rtn") or not qcfg.get("sym"):
+                print("--serve-int8 needs a symmetric gptq/rtn artifact "
+                      "(quantize with --sym); ignoring", file=sys.stderr)
+            else:
+                from sam_quantization_tpu.nn.packed import cache_int8
+
+                scales = qcfg.get("act_scales")
+                enc = cache_int8(enc, act_scales=scales)
+                model = sam_lib.Sam(
+                    image_encoder=enc,
+                    prompt_encoder=model.prompt_encoder,
+                    mask_decoder=model.mask_decoder,
+                    config=model.config,
+                )
+                print(
+                    "serving mode: cached int8 weights"
+                    + (", static act scales" if scales else
+                       ", dynamic act scales (artifact has none — "
+                       "quantize with --act-scales)"),
+                    file=sys.stderr,
+                )
         if qcfg.get("method") == "fq":
             import os
 

@@ -55,6 +55,14 @@ def build_parser(parser=None):
         "config) and re-quantize them at --bump-bits",
     )
     p.add_argument("--bump-bits", type=int, default=8)
+    # int8-MXU serving (BENCHMARKS.md headline config)
+    p.add_argument(
+        "--act-scales", action="store_true",
+        help="calibrate static per-layer activation scales and store them "
+        "in the artifact, enabling `infer --serve-int8` (the cached-int8 "
+        "+ static-act serving mode; requires --sym)",
+    )
+    p.add_argument("--act-margin", type=float, default=1.1)
     # data
     p.add_argument("--sbd-dir", default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -186,6 +194,23 @@ def main(argv=None):
             "overrides": overrides.to_json() if overrides else None,
             "losses": {k: float(v) for k, v in losses.items()},
         }
+        if args.act_scales:
+            if not args.sym:
+                print("--act-scales requires --sym (symmetric int8 grid); "
+                      "skipping", file=sys.stderr)
+            else:
+                from sam_quantization_tpu.quant.act_scales import (
+                    calibrate_act_scales,
+                )
+
+                scale_batches = [
+                    sam_lib.preprocess(model, b)
+                    for b in iter_calib_images(args, img_size)
+                ]
+                quant_config["act_scales"] = calibrate_act_scales(
+                    model.image_encoder, ecfg, scale_batches,
+                    margin=args.act_margin,
+                )
         if args.save:
             artifacts.save_quantized(args.save, enc, quant_config)
     print(
