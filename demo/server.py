@@ -128,6 +128,9 @@ def main():
     ap.add_argument("--model", default="vit_b")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--load", default=None, help="quantized artifact dir")
+    ap.add_argument("--serve-int8", action="store_true",
+                    help="cached-int8 + static-act serving mode (needs a "
+                    "--sym --act-scales artifact)")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (leave the TPU alone)")
@@ -145,7 +148,11 @@ def main():
     if args.load:
         from sam_quantization_tpu.quant import artifacts
 
-        enc, _ = artifacts.load_quantized(args.load)
+        enc, qcfg = artifacts.load_quantized(args.load)
+        if args.serve_int8 and qcfg.get("sym"):
+            from sam_quantization_tpu.nn.packed import cache_int8
+
+            enc = cache_int8(enc, act_scales=qcfg.get("act_scales"))
         model = sam_lib.Sam(
             image_encoder=enc, prompt_encoder=model.prompt_encoder,
             mask_decoder=model.mask_decoder, config=model.config,
