@@ -76,6 +76,70 @@ def _attn_kernel(qa_ref, ka_ref, v_ref, o_ref, *, L, bw):
         )
 
 
+def _attn_kernel_rowblock_bias3d(
+    q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, kh, kw
+):
+    """Row-block global attention with the bias as a broadcast add.
+
+    The augmented contraction (module docstring, idea 2) is free for the
+    windowed blocks but costs kh + kw = 128 extra lanes at the global shape
+    (hd 80 → Da 256), doubling the q·k FLOPs. Here the global sequence is
+    exactly the (kh, kw) token grid (L == kh*kw, no padding), so
+    ``bias[m, n] = rel_h[m, n // kw] + rel_w[m, n % kw]`` is a rank-1
+    broadcast over the logits *viewed as (BQ, kh, kw)* — a VPU add fused
+    into the softmax pass, with q·k back to the plain hd-lane contraction.
+    """
+    s = jax.lax.dot_general(
+        q_ref[0],
+        k_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, L), L == kh*kw
+    BQ = s.shape[0]
+    rh = rh_ref[0][:, :kh].astype(jnp.float32)  # (BQ, kh)
+    rw = rw_ref[0][:, :kw].astype(jnp.float32)  # (BQ, kw)
+    s3 = s.reshape(BQ, kh, kw) + rh[:, :, None] + rw[:, None, :]
+    s = s3.reshape(BQ, kh * kw)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
+    o_ref[0] = jnp.dot(p, v_ref[0], preferred_element_type=jnp.float32).astype(
+        o_ref.dtype
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kh", "kw", "block_q", "interpret")
+)
+def _fused_attention_bias3d(qs, ks, v, rh, rw, *, kh, kw, block_q, interpret):
+    BH, L, Dp = qs.shape
+    flops = 2 * BH * L * L * 2 * Dp
+    grid = (BH, L // block_q)
+    Db = rh.shape[2]
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_rowblock_bias3d, kh=kh, kw=kw),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, L, Dp), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, L, Dp), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, Db), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, Db), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, L, Dp), qs.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=BH * L * 4 * Dp * qs.dtype.itemsize,
+            transcendentals=BH * L * L,
+        ),
+        interpret=interpret,
+    )(qs, ks, v, rh, rw)
+
+
 def _attn_kernel_rowblock(qa_ref, ka_ref, v_ref, o_ref, *, L):
     """One (BQ, L) row block for one (batch*head) — the long-L (global
     attention) shape where a full problem per program would not fit VMEM."""
@@ -169,6 +233,7 @@ def flash_attention_relpos(
     interpret: bool = False,
     bw_override: Optional[int] = None,
     block_q_override: Optional[int] = None,
+    bias3d: Optional[bool] = None,
 ) -> jax.Array:
     """Self-attention with decomposed rel-pos bias.
 
@@ -196,6 +261,32 @@ def flash_attention_relpos(
 
     qs = (q.astype(jnp.float32) * scale).astype(q.dtype).reshape(BH, L, hd)
     ks = k.reshape(BH, L, hd)
+
+    # Global-shape fast path: bias as a broadcast add on the (BQ, kh, kw)
+    # logit view (see _attn_kernel_rowblock_bias3d). Requires the sequence to
+    # be exactly the unpadded token grid; q·k stays a plain hd-lane dot.
+    if (
+        rel_h is not None
+        and L > 512
+        and kh * kw == L
+        and L == Lp
+        and bias3d is not False
+    ):
+        block_q = min(Lp, 256)
+        if block_q_override is not None and Lp % block_q_override == 0:
+            block_q = block_q_override
+        Db = _round_up(max(kh, kw), 128)
+        qp = jnp.pad(qs, ((0, 0), (0, 0), (0, Dp - hd)))
+        kp = jnp.pad(ks, ((0, 0), (0, 0), (0, Dp - hd)))
+        vp = jnp.pad(v.reshape(BH, L, hd), ((0, 0), (0, 0), (0, Dp - hd)))
+        rh = jnp.pad(rel_h.reshape(BH, L, kh), ((0, 0), (0, 0), (0, Db - kh)))
+        rw = jnp.pad(rel_w.reshape(BH, L, kw), ((0, 0), (0, 0), (0, Db - kw)))
+        out = _fused_attention_bias3d(
+            qp, kp, vp, rh, rw, kh=kh, kw=kw, block_q=block_q,
+            interpret=interpret,
+        )
+        return out[:, :, :hd].reshape(B, nh, L, hd)
+
     if rel_h is not None:
         qa = jnp.concatenate(
             [qs, rel_h.reshape(BH, L, kh), rel_w.reshape(BH, L, kw)], axis=-1
@@ -220,7 +311,9 @@ def flash_attention_relpos(
         block_q = Lp
     else:
         bw = 1
-        block_q = min(Lp, 256)
+        # block_q must divide Lp (the row grid would silently drop the tail
+        # otherwise); Lp is a multiple of 128.
+        block_q = 256 if Lp % 256 == 0 else 128
     if bw_override is not None and BH % bw_override == 0:
         bw = bw_override
     if block_q_override is not None and bw == 1 and Lp % block_q_override == 0:

@@ -21,7 +21,10 @@ from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:  # moved out of experimental in jax 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 # ---------------------------------------------------------------------------
@@ -94,11 +97,18 @@ def sp_attention(
             "bnqk,bnkc->bnqc", p, v_full, preferred_element_type=jnp.float32
         ).astype(q_l.dtype)
 
-    fn = shard_map(
-        body, mesh=mesh,
-        in_specs=(spec_l, spec_l, spec_l, spec_l, spec_l),
-        out_specs=spec_l, check_rep=False,
-    )
+    try:  # jax>=0.8 renamed check_rep -> check_vma
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(spec_l, spec_l, spec_l, spec_l, spec_l),
+            out_specs=spec_l, check_vma=False,
+        )
+    except TypeError:  # pragma: no cover - older jax
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(spec_l, spec_l, spec_l, spec_l, spec_l),
+            out_specs=spec_l, check_rep=False,
+        )
     if not has_rel:
         # dummies, sharded like q; body ignores them
         rel_h = jnp.zeros((B, nh, L, 8), q.dtype)

@@ -35,7 +35,8 @@ def _mk(rng, B, nh, L, hd, kh, kw, dtype=jnp.float32):
     [
         (3, 2, 196, 80, 14, 14),  # ViT-H windowed (batched whole-problem path)
         (2, 2, 196, 64, 14, 14),  # ViT-B/L windowed
-        (1, 2, 1024, 64, 32, 32),  # long sequence (row-block path)
+        (1, 2, 1024, 64, 32, 32),  # long sequence (row-block bias3d path)
+        (1, 2, 800, 64, 25, 32),  # padded long sequence (augmented row-block)
     ],
 )
 def test_flash_matches_eager(B, nh, L, hd, kh, kw):

@@ -138,8 +138,8 @@ def main():
                 return fm.fused_mlp(h, lin1, lin2)
             return F.linear(lin2, F.gelu(F.linear(lin1, h)))
 
-        def full(x, p=p):
-            return ie.block_apply(p, x, ecfg, 0, NULL_CTX)
+        def full(x, impl="auto", p=p):
+            return ie.block_apply(p, x, ecfg, 0, NULL_CTX, attn_impl=impl)
 
         stages = [
             ("noop", noop),
@@ -149,6 +149,10 @@ def main():
             ("part+attn(eager)", lambda x: attn(x, "xla")),
             ("ln2+mlp", mlp),
             ("full block", full),
+            # eager attention in the full block: the Pallas call is opaque
+            # to XLA's scheduler, so the flash win per-stage can lose to
+            # eager's cross-op overlap in the full pipeline
+            ("full block (eager)", lambda x: full(x, "xla")),
         ]
         if jax.default_backend() == "tpu":
             stages.insert(5, ("part+attn(flash)", lambda x: attn(x, "flash")))

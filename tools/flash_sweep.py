@@ -95,15 +95,18 @@ def main():
     qg, kg, vg = (mk((1, nh, Lg, hd)) for _ in range(3))
     rhg, rwg = mk((1, nh, Lg, G)), mk((1, nh, Lg, G))
     print(f"[global] BH={nh} L={Lg} hd={hd} kh=kw={G}", flush=True)
-    for bq in (None, 128, 256, 512, 1024):
+    for b3d in (False, True):
+        for bq in (None, 128, 256, 512):
 
-        def f(q, k, v, rh, rw, bq=bq):
-            return fa.flash_attention_relpos(
-                q, k, v, rh, rw, scale=hd**-0.5, block_q_override=bq
-            )
+            def f(q, k, v, rh, rw, bq=bq, b3d=b3d):
+                return fa.flash_attention_relpos(
+                    q, k, v, rh, rw, scale=hd**-0.5,
+                    block_q_override=bq, bias3d=b3d,
+                )
 
-        t = timed_carry_attn(f, qg, kg, vg, rhg, rwg, args.iters)
-        print(f"  block_q={bq!s:<5} {1e3 * t:7.3f} ms", flush=True)
+            t = timed_carry_attn(f, qg, kg, vg, rhg, rwg, args.iters)
+            tag = "bias3d" if b3d else "augmented"
+            print(f"  {tag:<10} block_q={bq!s:<5} {1e3 * t:7.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
