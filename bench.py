@@ -132,7 +132,10 @@ def _segments_throughput(params, x, ecfg, attn_impl, reps, seg_reps):
     # iterations over a few distinct inputs, and only the stage's own param
     # subtree is passed (identical programs across quant configs -> shared
     # compile cache, smaller dispatch payload).
-    small_iters = max(seg_reps * 16, 64)
+    # 256+ in-dispatch iterations: at ~0.1-0.6 ms of device time per iter the
+    # dispatch carries >25 ms of work, so the subtracted-RTT residual noise
+    # (±5-10 ms observed) stays under a few percent of the stage time.
+    small_iters = max(seg_reps * 16, 256)
     emb_p = {k: params[k] for k in ("patch_embed", "pos_embed") if k in params}
     xs = jnp.stack([x + jnp.bfloat16(1e-3 * (i + 1)) for i in range(4)])
 
@@ -235,7 +238,7 @@ def main():
                          "inputs (device-honest through the relay); the "
                          "scanned-block encoder keeps the program small "
                          "enough for ViT-L/H")
-    ap.add_argument("--reps", type=int, default=3,
+    ap.add_argument("--reps", type=int, default=4,
                     help="repetitions of the chained run (min taken)")
     ap.add_argument("--segments", action="store_true",
                     help="time embed/windowed/global/neck as four small "

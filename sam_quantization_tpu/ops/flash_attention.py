@@ -37,6 +37,7 @@ logits never touch HBM — the reason eager XLA loses at L=4096 and pays
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -79,15 +80,17 @@ def _attn_kernel(qa_ref, ka_ref, v_ref, o_ref, *, L, bw):
 def _attn_kernel_rowblock_bias3d(
     q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, kh, kw
 ):
-    """Row-block global attention with the bias as a broadcast add.
+    """Row-block global attention with the bias as a VPU broadcast add.
 
     The augmented contraction (module docstring, idea 2) is free for the
     windowed blocks but costs kh + kw = 128 extra lanes at the global shape
     (hd 80 → Da 256), doubling the q·k FLOPs. Here the global sequence is
     exactly the (kh, kw) token grid (L == kh*kw, no padding), so
-    ``bias[m, n] = rel_h[m, n // kw] + rel_w[m, n % kw]`` is a rank-1
-    broadcast over the logits *viewed as (BQ, kh, kw)* — a VPU add fused
-    into the softmax pass, with q·k back to the plain hd-lane contraction.
+    ``bias[m, n] = rel_h[m, n // kw] + rel_w[m, n % kw]`` needs no
+    contraction at all: q·k stays the plain hd-lane dot, and the bias is
+    added per 128-lane column block (Mosaic rejects a (BQ, L)→(BQ, kh, kw)
+    shape cast, so the kh-broadcast is an iota-select over the 128/kw
+    h-values each lane block spans — static slices + VPU only).
     """
     s = jax.lax.dot_general(
         q_ref[0],
@@ -95,11 +98,21 @@ def _attn_kernel_rowblock_bias3d(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (BQ, L), L == kh*kw
-    BQ = s.shape[0]
-    rh = rh_ref[0][:, :kh].astype(jnp.float32)  # (BQ, kh)
-    rw = rw_ref[0][:, :kw].astype(jnp.float32)  # (BQ, kw)
-    s3 = s.reshape(BQ, kh, kw) + rh[:, :, None] + rw[:, None, :]
-    s = s3.reshape(BQ, kh * kw)
+    L = s.shape[1]
+    rh = rh_ref[0].astype(jnp.float32)  # (BQ, >=kh)
+    rw = rw_ref[0].astype(jnp.float32)  # (BQ, >=kw)
+    per = 128 // kw  # h-values per 128-lane block (kw <= 128, kw | 128)
+    rw128 = jnp.concatenate([rw[:, :kw]] * per, axis=-1)  # (BQ, 128)
+    hsel = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) // kw  # 0..per-1
+    pieces = []
+    for j in range(L // 128):
+        bias = rw128
+        for t in range(per):
+            bias = bias + jnp.where(
+                hsel == t, rh[:, j * per + t][:, None], 0.0
+            )
+        pieces.append(s[:, j * 128 : (j + 1) * 128] + bias)
+    s = jnp.concatenate(pieces, axis=-1)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
@@ -262,15 +275,23 @@ def flash_attention_relpos(
     qs = (q.astype(jnp.float32) * scale).astype(q.dtype).reshape(BH, L, hd)
     ks = k.reshape(BH, L, hd)
 
-    # Global-shape fast path: bias as a broadcast add on the (BQ, kh, kw)
-    # logit view (see _attn_kernel_rowblock_bias3d). Requires the sequence to
-    # be exactly the unpadded token grid; q·k stays a plain hd-lane dot.
+    # Global-shape default: bias as a VPU select/add per lane block (see
+    # _attn_kernel_rowblock_bias3d), q·k back to the plain hd-lane dot.
+    # Measured on v5e at the ViT-H global stage *in context* (scanned
+    # 4-block program): 12.93 vs 13.63 ms for the augmented contraction —
+    # the in-block kernel is MXU-bound enough for the q·k halving to win.
+    # (An ISOLATED carried-scan A/B ties at 3.03 ms/block — prep-bound —
+    # which is why this is measured in the block stage; BENCHMARKS.md.)
+    # Opt out with bias3d=False or SAMQ_FLASH_BIAS3D=0.
     if (
         rel_h is not None
         and L > 512
         and kh * kw == L
         and L == Lp
+        and kw <= 128
+        and 128 % kw == 0
         and bias3d is not False
+        and os.environ.get("SAMQ_FLASH_BIAS3D") != "0"
     ):
         block_q = min(Lp, 256)
         if block_q_override is not None and Lp % block_q_override == 0:
@@ -302,12 +323,15 @@ def flash_attention_relpos(
     vp = jnp.pad(v.reshape(BH, L, hd), ((0, 0), (0, Lp - L), (0, Dp - hd)))
 
     # Whole-problem batching for short (windowed) sequences; row blocks for
-    # the long global sequence. VMEM budget per program ~4 MB.
+    # the long global sequence. The kernel loops problems sequentially, so
+    # only the per-problem IO blocks scale with bw (one logits scratch at a
+    # time); bigger bw = fewer programs = less per-program overhead.
+    # Swept on v5e at ViT-H windowed (BH=400): bw 40 → 1.868 ms vs the old
+    # capped-8 heuristic's 1.940 (tools/flash_sweep.py).
     if L <= 512:
-        per_entry = Lp * (2 * Da + 2 * Dp) * 2 + Lp * Lp * 4
-        bw = max(1, min(8, (4 << 20) // per_entry))
-        while BH % bw:
-            bw -= 1
+        per_io = Lp * (2 * Da + 2 * Dp) * 2  # one problem's IO blocks, bytes
+        bw_max = max(1, min(64, (10 << 20) // per_io))
+        bw = max(d for d in range(1, bw_max + 1) if BH % d == 0)
         block_q = Lp
     else:
         bw = 1

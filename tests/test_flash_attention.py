@@ -35,7 +35,7 @@ def _mk(rng, B, nh, L, hd, kh, kw, dtype=jnp.float32):
     [
         (3, 2, 196, 80, 14, 14),  # ViT-H windowed (batched whole-problem path)
         (2, 2, 196, 64, 14, 14),  # ViT-B/L windowed
-        (1, 2, 1024, 64, 32, 32),  # long sequence (row-block bias3d path)
+        (1, 2, 1024, 64, 32, 32),  # long sequence (augmented row-block)
         (1, 2, 800, 64, 25, 32),  # padded long sequence (augmented row-block)
     ],
 )
@@ -45,6 +45,17 @@ def test_flash_matches_eager(B, nh, L, hd, kh, kw):
         q, k, v, rel_h, rel_w, hd**-0.5, interpret=True
     )
     ref = attention_reference(q, k, v, rel_h, rel_w, hd**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_flash_bias3d_variant():
+    """Opt-in VPU-bias global kernel (bias3d=True) matches the reference;
+    on v5e it ties the default augmented contraction (see kernel docstring)."""
+    q, k, v, rel_h, rel_w = _mk(7, 1, 2, 1024, 64, 32, 32)
+    out = flash_attention_relpos(
+        q, k, v, rel_h, rel_w, 0.125, interpret=True, bias3d=True
+    )
+    ref = attention_reference(q, k, v, rel_h, rel_w, 0.125)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
 
