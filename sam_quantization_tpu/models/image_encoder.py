@@ -195,9 +195,6 @@ def attention(
     L = H * W
     qkv = ctx.linear(f"{path}.qkv", p["qkv"], x.reshape(B, L, C))
     qkv = ctx.act(f"{path}.qact1", qkv)
-    qkv = qkv.reshape(B, L, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]  # (B, nh, L, hd)
-    q2 = q.reshape(B * nh, L, hd)
 
     # Sequence-parallel global attention when a mesh is active (SURVEY §5's
     # long-context mapping; opt in with parallel.sp_attention.sequence_parallel)
@@ -206,6 +203,37 @@ def attention(
         from sam_quantization_tpu.parallel import sp_attention as sp_mod
 
         sp = sp_mod.active_sp(L)
+
+    use_flash = attn_impl == "flash" or (
+        attn_impl == "auto"
+        and type(ctx) is type(NULL_CTX)  # FP/GPTQ only; FQ needs the hooks
+        and jax.default_backend() == "tpu"
+    )
+    if use_flash and sp is None and L <= 512 and cfg.use_rel_pos:
+        # Packed-qkv windowed kernel: heads are sliced out of the projection
+        # output by BlockSpec index maps and the rel-pos augmentation happens
+        # in VMEM — no head transpose, no padded qa/ka/vp arrays in HBM
+        # (ops/flash_attention._attn_kernel_qkv_packed).
+        from sam_quantization_tpu.ops import flash_attention
+
+        Rh = get_rel_pos(H, H, p["rel_pos_h"]).astype(qkv.dtype)
+        Rw = get_rel_pos(W, W, p["rel_pos_w"]).astype(qkv.dtype)
+        qg = qkv[:, :, : nh * hd].reshape(B, H, W, nh, hd)
+        rel_h = jnp.einsum("bhwnc,hkc->bnhwk", qg, Rh)
+        rel_w = jnp.einsum("bhwnc,wkc->bnhwk", qg, Rw)
+        rel = jnp.concatenate([rel_h, rel_w], -1).reshape(B, nh, L, H + W)
+        out = flash_attention.flash_attention_qkv_packed(
+            qkv, rel, hd**-0.5, nh=nh, hd=hd, kh=H, kw=W
+        )
+        x = out.reshape(B, H, W, C)
+        x = ctx.act(f"{path}.qact2", x)
+        x = ctx.linear(f"{path}.proj", p["proj"], x)
+        x = ctx.act(f"{path}.qact3", x)
+        return x
+
+    qkv = qkv.reshape(B, L, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]  # (B, nh, L, hd)
+    q2 = q.reshape(B * nh, L, hd)
     if sp is not None:
         mesh, axis = sp
         from sam_quantization_tpu.parallel import sp_attention as sp_mod
@@ -229,16 +257,11 @@ def attention(
         x = ctx.act(f"{path}.qact3", x)
         return x
 
-    use_flash = attn_impl == "flash" or (
-        attn_impl == "auto"
-        and type(ctx) is type(NULL_CTX)  # FP/GPTQ only; FQ needs the hooks
-        and jax.default_backend() == "tpu"
-        # Flash wins at L=4096 (4.1× over eager — logits stay in VMEM) and,
-        # since the augmented-contraction rewrite (bias folded into the q·k
-        # dot, multi-window batching), at window size too: measured
-        # 0.63 vs 0.73 ms/block bf16 and 0.96 vs 1.52 int4 at ViT-B shapes
-        # (tools/block_anatomy.py).
-    )
+    # Flash wins at L=4096 (4.1× over eager — logits stay in VMEM) and,
+    # since the augmented-contraction rewrite (bias folded into the q·k
+    # dot, multi-window batching), at window size too: measured
+    # 0.63 vs 0.73 ms/block bf16 and 0.96 vs 1.52 int4 at ViT-B shapes
+    # (tools/block_anatomy.py). use_flash computed above the packed branch.
     if use_flash:
         from sam_quantization_tpu.ops import flash_attention
 

@@ -32,6 +32,14 @@ Windowed attention batches several (window × head) entries per grid cell
 (``bw``) so each program has enough MXU work to hide latency; the (L, L)
 logits never touch HBM — the reason eager XLA loses at L=4096 and pays
 ~4 extra HBM passes at L=196.
+
+3. **Read the projection output directly** (windowed path). The qkv
+   linear's (NW, L, 3*nh*hd) activation is passed to the kernel three
+   times with different BlockSpec index maps — q/k/v of head h are plain
+   hd-wide column slices — so the head-split transpose and the padded
+   qa/ka/vp staging arrays never exist in HBM; the rel-pos augmentation
+   concat happens in VMEM registers (``_attn_kernel_qkv_packed``). The
+   kernel's output is already in (NW, L, nh*hd) layout for the proj.
 """
 
 from __future__ import annotations
@@ -75,6 +83,146 @@ def _attn_kernel(qa_ref, ka_ref, v_ref, o_ref, *, L, bw):
         o_ref[b] = jnp.dot(p, v_ref[b], preferred_element_type=jnp.float32).astype(
             o_ref.dtype
         )
+
+
+def _attn_kernel_qkv_packed(
+    q_ref, k_ref, v_ref, rel_ref, o_ref, *, L, bw, nh, hd, kh, kw, scale
+):
+    """Windowed attention on head-packed q/k/v activations.
+
+    q/k/v refs are (bw, Lp, nh*hd) slices of the qkv projection output —
+    heads are NOT split outside; each head's hd-wide column slice is taken
+    from the VMEM-resident block in-kernel (Pallas TPU rejects hd-wide
+    BlockSpec blocks: the last block dim must be 128-divisible or full).
+    The rel-pos augmentation (module docstring, idea 2) happens in VMEM
+    registers: qa = [q*scale, rel], ka = [k, onehot selectors from iota].
+    No head transpose or padded qa/ka/vp staging arrays ever reach HBM.
+    OOB rows (L < Lp) only corrupt their own output rows, which the caller
+    slices off; OOB k/v rows are zeroed (a NaN there would poison every
+    row through the softmax), and OOB columns are masked to -inf.
+    """
+    Lp = q_ref.shape[1]
+    dt = o_ref.dtype
+    eh = (
+        jax.lax.broadcasted_iota(jnp.int32, (Lp, kh), 0) // kw
+        == jax.lax.broadcasted_iota(jnp.int32, (Lp, kh), 1)
+    ).astype(dt)
+    ew = (
+        jax.lax.broadcasted_iota(jnp.int32, (Lp, kw), 0) % kw
+        == jax.lax.broadcasted_iota(jnp.int32, (Lp, kw), 1)
+    ).astype(dt)
+    sel = jnp.concatenate([eh, ew], axis=-1)  # (Lp, kh+kw)
+    colmask = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1) < L, 0.0, NEG_INF
+    )
+    rowmask = jax.lax.broadcasted_iota(jnp.int32, (Lp, 1), 0) < L
+    for b in range(bw):
+        for h in range(nh):
+            q = q_ref[b][:, h * hd : (h + 1) * hd]
+            k = k_ref[b][:, h * hd : (h + 1) * hd]
+            v = v_ref[b][:, h * hd : (h + 1) * hd]
+            qs = (q.astype(jnp.float32) * scale).astype(o_ref.dtype)
+            qa = jnp.concatenate([qs, rel_ref[b, h]], axis=-1)
+            if Lp > L:
+                k = jnp.where(rowmask, k, 0)
+                v = jnp.where(rowmask, v, 0)
+            ka = jnp.concatenate([k, sel], axis=-1)
+            s = jax.lax.dot_general(
+                qa,
+                ka,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Lp, Lp)
+            s = s + colmask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+            o_ref[b, :, h * hd : (h + 1) * hd] = jnp.dot(
+                p, v, preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nh", "hd", "L", "kh", "kw", "scale", "bw", "interpret"),
+)
+def _fused_attention_qkv_packed(
+    qkv, rel, *, nh, hd, L, kh, kw, scale, bw, interpret
+):
+    NW = qkv.shape[0]
+    CH = nh * hd
+    Lp = _round_up(L, 128)
+    flops = 2 * NW * nh * Lp * Lp * (hd + kh + kw + hd)
+    grid = (NW // bw,)
+    # Contiguous thirds of the projection output — cheap copies (no head
+    # transpose); each is passed with a full-width block so the per-head
+    # slicing happens on VMEM-resident data.
+    qf, kf, vf = qkv[:, :, :CH], qkv[:, :, CH : 2 * CH], qkv[:, :, 2 * CH :]
+    return pl.pallas_call(
+        functools.partial(
+            _attn_kernel_qkv_packed,
+            L=L, bw=bw, nh=nh, hd=hd, kh=kh, kw=kw, scale=scale,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bw, Lp, CH), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bw, Lp, CH), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bw, Lp, CH), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bw, nh, Lp, kh + kw), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bw, Lp, CH), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NW, Lp, CH), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=NW * Lp * CH * 4 * qkv.dtype.itemsize,
+            transcendentals=NW * nh * Lp * Lp,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, rel)
+
+
+def flash_attention_qkv_packed(
+    qkv: jax.Array,
+    rel: Optional[jax.Array],
+    scale: float,
+    *,
+    nh: int,
+    hd: int,
+    kh: int,
+    kw: int,
+    interpret: bool = False,
+    bw_override: Optional[int] = None,
+) -> jax.Array:
+    """Windowed flash attention on the packed qkv projection output.
+
+    Args:
+      qkv: (NW, L, 3*nh*hd) — the qkv linear's output, heads NOT split.
+      rel: (NW, nh, L, kh + kw) concatenated rel-pos tiles, or None.
+      scale: softmax scale for q.
+
+    Returns (NW, L, nh*hd) — proj-ready, no head transpose anywhere.
+    """
+    NW, L, _ = qkv.shape
+    if rel is None:
+        rel = jnp.zeros((NW, nh, L, kh + kw), qkv.dtype)
+    Lp = _round_up(L, 128)
+    if Lp != L:
+        rel = jnp.pad(rel, ((0, 0), (0, 0), (0, Lp - L), (0, 0)))
+    # Full-width blocks: ~2.9 MB of IO per window at ViT-H shapes (all nh
+    # heads ride in each block); 10 MB budget leaves room for pipelining.
+    per_io = Lp * (4 * nh * hd + nh * (kh + kw)) * qkv.dtype.itemsize
+    bw_max = max(1, min(64, (10 << 20) // per_io))
+    bw = max(d for d in range(1, bw_max + 1) if NW % d == 0)
+    if bw_override is not None and NW % bw_override == 0:
+        bw = bw_override
+    out = _fused_attention_qkv_packed(
+        qkv, rel, nh=nh, hd=hd, L=L, kh=kh, kw=kw, scale=scale, bw=bw,
+        interpret=interpret,
+    )
+    return out[:, :L, :]
 
 
 def _attn_kernel_rowblock_bias3d(
@@ -296,17 +444,15 @@ def flash_attention_relpos(
         block_q = min(Lp, 256)
         if block_q_override is not None and Lp % block_q_override == 0:
             block_q = block_q_override
-        Db = _round_up(max(kh, kw), 128)
-        qp = jnp.pad(qs, ((0, 0), (0, 0), (0, Dp - hd)))
-        kp = jnp.pad(ks, ((0, 0), (0, 0), (0, Dp - hd)))
-        vp = jnp.pad(v.reshape(BH, L, hd), ((0, 0), (0, 0), (0, Dp - hd)))
-        rh = jnp.pad(rel_h.reshape(BH, L, kh), ((0, 0), (0, 0), (0, Db - kh)))
-        rw = jnp.pad(rel_w.reshape(BH, L, kw), ((0, 0), (0, 0), (0, Db - kw)))
+        # No lane padding: Pallas accepts full-dim trailing blocks (hd=80,
+        # kh/kw=64), the MXU pads registers internally, and skipping the
+        # pads removes five (BH, L, 128) staging writes per call.
         out = _fused_attention_bias3d(
-            qp, kp, vp, rh, rw, kh=kh, kw=kw, block_q=block_q,
-            interpret=interpret,
+            qs, ks, v.reshape(BH, L, hd),
+            rel_h.reshape(BH, L, kh), rel_w.reshape(BH, L, kw),
+            kh=kh, kw=kw, block_q=block_q, interpret=interpret,
         )
-        return out[:, :, :hd].reshape(B, nh, L, hd)
+        return out.reshape(B, nh, L, hd)
 
     if rel_h is not None:
         qa = jnp.concatenate(

@@ -111,14 +111,54 @@ def test_flash_through_encoder_attention():
     import sam_quantization_tpu.ops.flash_attention as fa
 
     orig = fa._fused_attention
+    orig_packed = fa._fused_attention_qkv_packed
     try:
         fa._fused_attention = lambda *a, **kw: orig(
+            *a, **{**kw, "interpret": True}
+        )
+        fa._fused_attention_qkv_packed = lambda *a, **kw: orig_packed(
             *a, **{**kw, "interpret": True}
         )
         out_flash = ie.attention(p["attn"], xw, cfg, attn_impl="flash")
     finally:
         fa._fused_attention = orig
+        fa._fused_attention_qkv_packed = orig_packed
     out_xla = ie.attention(p["attn"], xw, cfg, attn_impl="xla")
     np.testing.assert_allclose(
         np.asarray(out_flash), np.asarray(out_xla), atol=3e-3
+    )
+
+
+@pytest.mark.parametrize(
+    "NW,nh,L,hd,kh,kw,bw",
+    [
+        (3, 2, 196, 80, 14, 14, None),  # ViT-H windowed, padded Lp
+        (2, 2, 256, 64, 16, 16, 2),  # exact Lp == L
+    ],
+)
+def test_flash_qkv_packed_matches_eager(NW, nh, L, hd, kh, kw, bw):
+    """The packed-qkv kernel (three BlockSpec views of one array, in-VMEM
+    augmentation) matches the head-split reference exactly."""
+    from sam_quantization_tpu.ops.flash_attention import (
+        flash_attention_qkv_packed,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(11), 2)
+    qkv = jax.random.normal(ks[0], (NW, L, 3 * nh * hd), jnp.float32) * 0.5
+    rel = jax.random.normal(ks[1], (NW, nh, L, kh + kw), jnp.float32) * 0.3
+    out = flash_attention_qkv_packed(
+        qkv, rel, hd**-0.5, nh=nh, hd=hd, kh=kh, kw=kw, interpret=True,
+        bw_override=bw,
+    )
+    # head-split reference from the same packed activation
+    q, k, v = (
+        qkv.reshape(NW, L, 3, nh, hd).transpose(2, 0, 3, 1, 4)[i]
+        for i in range(3)
+    )
+    rel_h, rel_w = rel[..., :kh], rel[..., kh:]
+    ref = attention_reference(q, k, v, rel_h, rel_w, hd**-0.5)
+    # reference is (NW, nh, L, hd) -> packed layout (NW, L, nh*hd)
+    ref_packed = ref.transpose(0, 2, 1, 3).reshape(NW, L, nh * hd)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_packed), atol=2e-3
     )
