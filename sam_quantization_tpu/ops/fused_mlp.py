@@ -142,7 +142,9 @@ def fused_mlp(x: jax.Array, p1: PackedLinear, p2: PackedLinear) -> jax.Array:
         h = quant_matmul.quant_matmul(x2, p1)
         if p1.bias is not None:
             h = h + p1.bias.astype(h.dtype)
-        h = jax.nn.gelu(h, approximate=False)
+        from sam_quantization_tpu.nn import functional as F
+
+        h = F.gelu(h)  # erf at f32, tanh approx at bf16 (see F.gelu)
         y = quant_matmul.quant_matmul(h, p2)
         if p2.bias is not None:
             y = y + p2.bias.astype(y.dtype)

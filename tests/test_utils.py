@@ -59,3 +59,30 @@ def test_augment_pipeline(rng):
     out_img, out_mask = aug(img, mask)
     assert out_img.shape == (64, 64, 3)
     assert out_mask.shape == (64, 64)
+
+
+def test_gelu_dtype_policy():
+    """F.gelu: exact erf at f32 (torch parity), tanh approximation at bf16
+    (deviation <= 4.7e-4 absolute — below bf16 resolution at |x|>~2 and far
+    below the int8 serving quantization step; nn/functional.gelu)."""
+    import jax
+    import jax.numpy as jnp
+    from sam_quantization_tpu.nn import functional as F
+
+    x = jnp.linspace(-6.0, 6.0, 4097, dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(F.gelu(x)),
+        np.asarray(jax.nn.gelu(x, approximate=False)),
+    )
+    xb = x.astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(F.gelu(xb), np.float32),
+        np.asarray(jax.nn.gelu(xb, approximate=True), np.float32),
+    )
+    # the bf16 fast path stays within 5e-4 of the exact-erf value
+    diff = np.abs(
+        np.asarray(F.gelu(xb), np.float32)
+        - np.asarray(jax.nn.gelu(x, approximate=False), np.float32)
+    )
+    # bf16 rounding of the input alone contributes up to ~2^-8 * |x|
+    assert diff.max() <= 5e-4 + np.abs(np.asarray(x)) .max() * 2**-8
