@@ -79,10 +79,15 @@ def _attn_kernel(qa_ref, ka_ref, v_ref, o_ref, *, L, bw):
             s = s + jnp.where(col < L, 0.0, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
-        o_ref[b] = jnp.dot(p, v_ref[b], preferred_element_type=jnp.float32).astype(
-            o_ref.dtype
+        # Normalize AFTER the p·v dot: the divide shrinks from (Lp, Lp)
+        # elements to (Lp, Dp) — softmax is ~40% of this kernel's time and
+        # the divide is its most expensive VPU op. p ≤ 1 (max subtracted),
+        # so the unnormalized bf16 cast loses no range.
+        r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(
+            p.astype(v_ref.dtype), v_ref[b], preferred_element_type=jnp.float32
         )
+        o_ref[b] = (o * r).astype(o_ref.dtype)
 
 
 def _attn_kernel_qkv_packed(
@@ -112,20 +117,29 @@ def _attn_kernel_qkv_packed(
         == jax.lax.broadcasted_iota(jnp.int32, (Lp, kw), 1)
     ).astype(dt)
     sel = jnp.concatenate([eh, ew], axis=-1)  # (Lp, kh+kw)
-    colmask = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1) < L, 0.0, NEG_INF
-    )
     rowmask = jax.lax.broadcasted_iota(jnp.int32, (Lp, 1), 0) < L
+    if Lp > L:
+        # Fold the OOB-column -inf mask into the contraction as one more
+        # augmentation lane (qa: 1.0, ka: 0 / -1e9 per k-row): lanes
+        # hd+kh+kw+1 still pad to 128 in the MXU, so the (Lp, Lp) mask add
+        # disappears from the VPU entirely.
+        maskcol = jnp.where(rowmask, 0.0, -1e9).astype(dt)
+        sel = jnp.concatenate([sel, maskcol], axis=-1)
+    one = jnp.ones((Lp, 1), dt)
     for b in range(bw):
         for h in range(nh):
             q = q_ref[b][:, h * hd : (h + 1) * hd]
             k = k_ref[b][:, h * hd : (h + 1) * hd]
             v = v_ref[b][:, h * hd : (h + 1) * hd]
             qs = (q.astype(jnp.float32) * scale).astype(o_ref.dtype)
-            qa = jnp.concatenate([qs, rel_ref[b, h]], axis=-1)
             if Lp > L:
+                # zero OOB k/v rows (garbage there may be NaN, which the
+                # -1e9 mask lane cannot neutralize) and add the mask lane
                 k = jnp.where(rowmask, k, 0)
                 v = jnp.where(rowmask, v, 0)
+                qa = jnp.concatenate([qs, rel_ref[b, h], one], axis=-1)
+            else:
+                qa = jnp.concatenate([qs, rel_ref[b, h]], axis=-1)
             ka = jnp.concatenate([k, sel], axis=-1)
             s = jax.lax.dot_general(
                 qa,
@@ -133,13 +147,12 @@ def _attn_kernel_qkv_packed(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (Lp, Lp)
-            s = s + colmask
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
-            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
-            o_ref[b, :, h * hd : (h + 1) * hd] = jnp.dot(
-                p, v, preferred_element_type=jnp.float32
-            ).astype(o_ref.dtype)
+            # normalize after the p·v dot — divide (Lp, hd) not (Lp, Lp)
+            r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            o_ref[b, :, h * hd : (h + 1) * hd] = (o * r).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -263,10 +276,12 @@ def _attn_kernel_rowblock_bias3d(
     s = jnp.concatenate(pieces, axis=-1)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
-    o_ref[0] = jnp.dot(p, v_ref[0], preferred_element_type=jnp.float32).astype(
-        o_ref.dtype
+    # normalize after the p·v dot — divide (BQ, hd) not (BQ, L)
+    r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
     )
+    o_ref[0] = (o * r).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -315,10 +330,12 @@ def _attn_kernel_rowblock(qa_ref, ka_ref, v_ref, o_ref, *, L):
         s = s + jnp.where(col < L, 0.0, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
-    o_ref[0] = jnp.dot(p, v_ref[0], preferred_element_type=jnp.float32).astype(
-        o_ref.dtype
+    # normalize after the p·v dot — divide (BQ, Dp) not (BQ, Lp)
+    r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
     )
+    o_ref[0] = (o * r).astype(o_ref.dtype)
 
 
 @functools.partial(

@@ -74,7 +74,8 @@ def quantize_activations_int8(x: jax.Array):
     """Dynamic symmetric per-token int8 quantization: (xq int8, scale (M, 1))."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    # (M, 1) reciprocal + broadcast multiply instead of an (M, K) divide
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / scale)), -127, 127).astype(jnp.int8)
     return xq, scale
 
 
