@@ -254,6 +254,10 @@ def main():
                     help="with --a8-cached: keep mlp lin1/lin2 as packed "
                          "int4 so the fused Pallas MLP handles them "
                          "(hidden acts stay in VMEM) instead of IntLinear")
+    ap.add_argument("--skip-fp", type=float, default=0.0,
+                    help="skip the bf16 pass and use this img/s as the "
+                         "baseline (kernel-iteration A/B runs; the driver's "
+                         "bare run always measures both)")
     args = ap.parse_args()
 
     from sam_quantization_tpu.models import image_encoder
@@ -271,7 +275,11 @@ def main():
     x = jnp.zeros((args.batch, size, size, 3), jnp.bfloat16)
 
     print(f"[bench] {args.model} bf16 encoder...", file=sys.stderr, flush=True)
-    if args.segments:
+    if args.skip_fp:
+        fp_ips = args.skip_fp
+        print(f"[bench] bf16 skipped; baseline {fp_ips} img/s (--skip-fp)",
+              file=sys.stderr, flush=True)
+    elif args.segments:
         fp_ips = _segments_throughput(
             params, x, ecfg, args.baseline_attn, args.reps, args.seg_reps
         )

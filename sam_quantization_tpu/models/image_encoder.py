@@ -24,6 +24,7 @@ TPU-first design notes:
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -303,6 +304,95 @@ def attention(
     return x
 
 
+def _attention_windowed_hoisted(
+    p: dict, x: jax.Array, cfg: ImageEncoderConfig, ws: int, ctx, path: str
+) -> jax.Array:
+    """Windowed attention with proj BELOW the window unpartition: proj is
+    per-token, so running it after the unpartition's pad-slice is the same
+    math on the real H*W tokens instead of the zero-padded (Hp, Wp) grid
+    (ViT-H: 4096 vs 4900 tokens — 16% of the proj FLOPs were padding; the
+    reference projects on the padded grid, image_encoder.py:189-207 +
+    282-307) AND strictly less data movement (the unpartition transpose
+    happens either way; this orders it before the matmul).
+
+    ``SAMQ_HOIST_QKV=1`` additionally hoists the qkv matmul ABOVE the
+    partition (bias re-added after it, so padded slots hold exactly
+    ``bias`` == linear(0) — numerics identical). Measured on v5e ViT-H,
+    that trade LOSES: partitioning the 3C-wide qkv output costs more HBM
+    traffic than the 16% matmul FLOPs it saves (windowed stage 33.7 →
+    35.5 ms int8-serving), so it defaults off. Kept as the measured
+    negative result + the knob to re-test on other toolchains/shapes.
+    """
+    import dataclasses as _dc
+
+    from sam_quantization_tpu.ops import flash_attention
+
+    B, H, W, C = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    NW, L = -1, ws * ws
+    if os.environ.get("SAMQ_HOIST_QKV") == "1":
+        qp = p["qkv"]
+        if isinstance(qp, dict):
+            bias, nobias = qp.get("b"), {"w": qp["w"]}
+        else:
+            bias, nobias = qp.bias, _dc.replace(qp, bias=None)
+        qkv = ctx.linear(f"{path}.qkv", nobias, x.reshape(B, H * W, C))
+        qkv, pad_hw = window_partition(qkv.reshape(B, H, W, 3 * C), ws)
+        if bias is not None:
+            qkv = qkv + bias.astype(qkv.dtype)
+    else:
+        xw, pad_hw = window_partition(x, ws)
+        qkv = ctx.linear(
+            f"{path}.qkv", p["qkv"], xw.reshape(-1, L, C)
+        )
+    NW = qkv.shape[0]
+    qkv = qkv.reshape(NW, L, 3 * C)
+    Rh = get_rel_pos(ws, ws, p["rel_pos_h"]).astype(qkv.dtype)
+    Rw = get_rel_pos(ws, ws, p["rel_pos_w"]).astype(qkv.dtype)
+    qg = qkv[:, :, : nh * hd].reshape(NW, ws, ws, nh, hd)
+    rel_h = jnp.einsum("bhwnc,hkc->bnhwk", qg, Rh)
+    rel_w = jnp.einsum("bhwnc,wkc->bnhwk", qg, Rw)
+    rel = jnp.concatenate([rel_h, rel_w], -1).reshape(NW, nh, L, 2 * ws)
+    out = flash_attention.flash_attention_qkv_packed(
+        qkv, rel, hd**-0.5, nh=nh, hd=hd, kh=ws, kw=ws
+    )
+    out = window_unpartition(out.reshape(NW, ws, ws, C), ws, pad_hw, (H, W))
+    return ctx.linear(f"{path}.proj", p["proj"], out)
+
+
+def _use_hoisted_windowed(ctx, cfg, attn_impl: str, ws: int) -> bool:
+    """Hoist-experiment gate (``SAMQ_HOIST_PROJ=1``; default OFF).
+
+    Moving proj below the unpartition (and, with ``SAMQ_HOIST_QKV=1``, qkv
+    above the partition) trades 16% of the qkv/proj matmul FLOPs (real
+    4096 tokens vs the zero-padded 4900 grid at ViT-H) against XLA's
+    fusion/layout choices around the partition transposes. Measured on a
+    v5e with same-run global-stage drift normalization (BENCHMARKS.md):
+    the int8-serving windowed stage is FASTEST with the original
+    partition-first order (3.99-4.01 win/glob ratio vs 4.12 qkv+proj /
+    4.25 proj-only) — the wider-tensor partition traffic and lost fusions
+    outweigh the padding FLOPs. Defaults off; the gate (and the parity
+    test) keep the experiment reproducible on other toolchains.
+
+    Beyond the env gate this mirrors the packed-qkv flash branch in
+    :func:`attention` (NullCtx only — the FQ ctx needs its per-point hooks
+    on the partitioned stream — rel-pos windowed shapes, TPU or forced)."""
+    if ws <= 0 or not cfg.use_rel_pos or ws * ws > 512:
+        return False
+    if os.environ.get("SAMQ_HOIST_PROJ") != "1":
+        return False
+    if type(ctx) is not type(NULL_CTX):
+        return False
+    if not (
+        attn_impl == "flash"
+        or (attn_impl == "auto" and jax.default_backend() == "tpu")
+    ):
+        return False
+    from sam_quantization_tpu.parallel import sp_attention as sp_mod
+
+    return sp_mod.active_sp(ws * ws) is None
+
+
 # ---------------------------------------------------------------------------
 # Block / encoder
 # ---------------------------------------------------------------------------
@@ -329,11 +419,16 @@ def block_apply(
     )
     x = ctx.act(f"{path}.qact1", x)
     H, W = x.shape[1], x.shape[2]
-    if ws > 0:
-        x, pad_hw = window_partition(x, ws)
-    x = attention(p["attn"], x, cfg, ctx, f"{path}.attn", attn_impl)
-    if ws > 0:
-        x = window_unpartition(x, ws, pad_hw, (H, W))
+    if ws > 0 and _use_hoisted_windowed(ctx, cfg, attn_impl, ws):
+        x = _attention_windowed_hoisted(
+            p["attn"], x, cfg, ws, ctx, f"{path}.attn"
+        )
+    else:
+        if ws > 0:
+            x, pad_hw = window_partition(x, ws)
+        x = attention(p["attn"], x, cfg, ctx, f"{path}.attn", attn_impl)
+        if ws > 0:
+            x = window_unpartition(x, ws, pad_hw, (H, W))
     x = ctx.act(f"{path}.qact2", shortcut + x, ln_input=True)
     h = ctx.layer_norm(
         f"{path}.norm2", p["norm2"], x, cfg.ln_eps,

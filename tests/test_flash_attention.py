@@ -162,3 +162,59 @@ def test_flash_qkv_packed_matches_eager(NW, nh, L, hd, kh, kw, bw):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref_packed), atol=2e-3
     )
+
+
+@pytest.mark.parametrize("hoist_qkv", [False, True])
+def test_hoisted_windowed_block_matches_partition_first(
+    hoist_qkv, monkeypatch
+):
+    """The hoisted windowed path (proj below the unpartition; with
+    SAMQ_HOIST_QKV=1 also qkv above the partition —
+    models/image_encoder._attention_windowed_hoisted) must be numerically
+    identical to partition-first through a FULL block: the qkv bias is
+    re-added after partitioning so padded slots hold exactly bias.
+    VIT_TINY's grid 8 / window 5 forces real padding (8 -> 10, 4 windows)."""
+    import os
+
+    from sam_quantization_tpu.models import image_encoder as ie
+    from sam_quantization_tpu.models.configs import VIT_TINY
+    import sam_quantization_tpu.ops.flash_attention as fa
+
+    monkeypatch.setenv("SAMQ_HOIST_PROJ", "1")
+    if hoist_qkv:
+        monkeypatch.setenv("SAMQ_HOIST_QKV", "1")
+    else:
+        monkeypatch.delenv("SAMQ_HOIST_QKV", raising=False)
+
+    cfg = VIT_TINY.image_encoder
+    p = ie.init_block(jax.random.PRNGKey(3), cfg, 0)
+    # nonzero bias + rel-pos tables so the padded-slot semantics matter
+    p["attn"]["qkv"]["b"] = (
+        jax.random.normal(jax.random.PRNGKey(4), (3 * cfg.embed_dim,)) * 0.1
+    )
+    p["attn"]["rel_pos_h"] = (
+        jax.random.normal(jax.random.PRNGKey(5), p["attn"]["rel_pos_h"].shape)
+        * 0.2
+    )
+    p["attn"]["rel_pos_w"] = (
+        jax.random.normal(jax.random.PRNGKey(6), p["attn"]["rel_pos_w"].shape)
+        * 0.2
+    )
+    x = jax.random.normal(
+        jax.random.PRNGKey(7), (1, cfg.grid_size, cfg.grid_size, cfg.embed_dim)
+    )
+    orig_packed = fa._fused_attention_qkv_packed
+    try:
+        fa._fused_attention_qkv_packed = lambda *a, **kw: orig_packed(
+            *a, **{**kw, "interpret": True}
+        )
+        assert ie._use_hoisted_windowed(
+            ie.NULL_CTX, cfg, "flash", cfg.window_size
+        )
+        out_hoisted = ie.block_apply(p, x, cfg, 0, attn_impl="flash")
+    finally:
+        fa._fused_attention_qkv_packed = orig_packed
+    out_ref = ie.block_apply(p, x, cfg, 0, attn_impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(out_hoisted), np.asarray(out_ref), atol=3e-3
+    )
