@@ -55,12 +55,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Softmax as exp2: every kernel computes logits pre-scaled by log2(e) (the
+# factor folds into the q scale / rel-pos tiles / mask lane — rank-1 prework
+# outside the kernel) and calls exp2 directly, saving one (L, L) VPU
+# multiply per head vs exp's internal x*log2e rescale. Same trick as the
+# reference Triton kernel's 1.44269504 scaling (fused_attention.py:211-293).
+# SAMQ_FLASH_EXP2=0 opts out (then the log2e prescale is skipped and the
+# kernels call exp on plain-scaled logits).
+LOG2E = 1.4426950408889634
+
+
+def _use_exp2() -> bool:
+    return os.environ.get("SAMQ_FLASH_EXP2") != "0"
+
+
+def _kexp(s, use_exp2: bool):
+    """exp(s / log2e) given pre-scaled s when use_exp2, else exp(s)."""
+    return jnp.exp2(s) if use_exp2 else jnp.exp(s)
+
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel(qa_ref, ka_ref, v_ref, o_ref, *, L, bw):
+def _attn_kernel(qa_ref, ka_ref, v_ref, o_ref, *, L, bw, exp2):
     """``bw`` full (batch*head) attention problems per program.
 
     qa_ref/ka_ref: (bw, Lp, Da) augmented q/k; v_ref: (bw, Lp, Dp);
@@ -78,7 +96,7 @@ def _attn_kernel(qa_ref, ka_ref, v_ref, o_ref, *, L, bw):
             col = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
             s = s + jnp.where(col < L, 0.0, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = _kexp(s - m, exp2)
         # Normalize AFTER the p·v dot: the divide shrinks from (Lp, Lp)
         # elements to (Lp, Dp) — softmax is ~40% of this kernel's time and
         # the divide is its most expensive VPU op. p ≤ 1 (max subtracted),
@@ -91,7 +109,7 @@ def _attn_kernel(qa_ref, ka_ref, v_ref, o_ref, *, L, bw):
 
 
 def _attn_kernel_qkv_packed(
-    q_ref, k_ref, v_ref, rel_ref, o_ref, *, L, bw, nh, hd, kh, kw, scale
+    q_ref, k_ref, v_ref, rel_ref, o_ref, *, L, bw, nh, hd, kh, kw, scale, exp2
 ):
     """Windowed attention on head-packed q/k/v activations.
 
@@ -148,7 +166,7 @@ def _attn_kernel_qkv_packed(
                 preferred_element_type=jnp.float32,
             )  # (Lp, Lp)
             m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
+            p = _kexp(s - m, exp2)
             # normalize after the p·v dot — divide (Lp, hd) not (Lp, Lp)
             r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
             o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
@@ -157,10 +175,12 @@ def _attn_kernel_qkv_packed(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nh", "hd", "L", "kh", "kw", "scale", "bw", "interpret"),
+    static_argnames=(
+        "nh", "hd", "L", "kh", "kw", "scale", "bw", "interpret", "exp2"
+    ),
 )
 def _fused_attention_qkv_packed(
-    qkv, rel, *, nh, hd, L, kh, kw, scale, bw, interpret
+    qkv, rel, *, nh, hd, L, kh, kw, scale, bw, interpret, exp2=False
 ):
     NW = qkv.shape[0]
     CH = nh * hd
@@ -174,7 +194,7 @@ def _fused_attention_qkv_packed(
     return pl.pallas_call(
         functools.partial(
             _attn_kernel_qkv_packed,
-            L=L, bw=bw, nh=nh, hd=hd, kh=kh, kw=kw, scale=scale,
+            L=L, bw=bw, nh=nh, hd=hd, kh=kh, kw=kw, scale=scale, exp2=exp2,
         ),
         grid=grid,
         in_specs=[
@@ -221,6 +241,13 @@ def flash_attention_qkv_packed(
     NW, L, _ = qkv.shape
     if rel is None:
         rel = jnp.zeros((NW, nh, L, kh + kw), qkv.dtype)
+    exp2 = _use_exp2()
+    if exp2:
+        # fold log2(e) into the q scale and the rel-pos tiles so the kernel
+        # can use raw exp2 (module note above); XLA fuses the rel multiply
+        # into its producer.
+        scale = scale * LOG2E
+        rel = (rel.astype(jnp.float32) * LOG2E).astype(rel.dtype)
     Lp = _round_up(L, 128)
     if Lp != L:
         rel = jnp.pad(rel, ((0, 0), (0, 0), (0, Lp - L), (0, 0)))
@@ -233,13 +260,13 @@ def flash_attention_qkv_packed(
         bw = bw_override
     out = _fused_attention_qkv_packed(
         qkv, rel, nh=nh, hd=hd, L=L, kh=kh, kw=kw, scale=scale, bw=bw,
-        interpret=interpret,
+        interpret=interpret, exp2=exp2,
     )
     return out[:, :L, :]
 
 
 def _attn_kernel_rowblock_bias3d(
-    q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, kh, kw
+    q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, kh, kw, exp2
 ):
     """Row-block global attention with the bias as a VPU broadcast add.
 
@@ -275,7 +302,7 @@ def _attn_kernel_rowblock_bias3d(
         pieces.append(s[:, j * 128 : (j + 1) * 128] + bias)
     s = jnp.concatenate(pieces, axis=-1)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = _kexp(s - m, exp2)
     # normalize after the p·v dot — divide (BQ, hd) not (BQ, L)
     r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(
@@ -285,15 +312,19 @@ def _attn_kernel_rowblock_bias3d(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kh", "kw", "block_q", "interpret")
+    jax.jit, static_argnames=("kh", "kw", "block_q", "interpret", "exp2")
 )
-def _fused_attention_bias3d(qs, ks, v, rh, rw, *, kh, kw, block_q, interpret):
+def _fused_attention_bias3d(
+    qs, ks, v, rh, rw, *, kh, kw, block_q, interpret, exp2=False
+):
     BH, L, Dp = qs.shape
     flops = 2 * BH * L * L * 2 * Dp
     grid = (BH, L // block_q)
     Db = rh.shape[2]
     return pl.pallas_call(
-        functools.partial(_attn_kernel_rowblock_bias3d, kh=kh, kw=kw),
+        functools.partial(
+            _attn_kernel_rowblock_bias3d, kh=kh, kw=kw, exp2=exp2
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0)),
@@ -316,7 +347,7 @@ def _fused_attention_bias3d(qs, ks, v, rh, rw, *, kh, kw, block_q, interpret):
     )(qs, ks, v, rh, rw)
 
 
-def _attn_kernel_rowblock(qa_ref, ka_ref, v_ref, o_ref, *, L):
+def _attn_kernel_rowblock(qa_ref, ka_ref, v_ref, o_ref, *, L, exp2):
     """One (BQ, L) row block for one (batch*head) — the long-L (global
     attention) shape where a full problem per program would not fit VMEM."""
     s = jax.lax.dot_general(
@@ -329,7 +360,7 @@ def _attn_kernel_rowblock(qa_ref, ka_ref, v_ref, o_ref, *, L):
         col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
         s = s + jnp.where(col < L, 0.0, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = _kexp(s - m, exp2)
     # normalize after the p·v dot — divide (BQ, Dp) not (BQ, Lp)
     r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(
@@ -339,16 +370,16 @@ def _attn_kernel_rowblock(qa_ref, ka_ref, v_ref, o_ref, *, L):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("L", "bw", "block_q", "interpret")
+    jax.jit, static_argnames=("L", "bw", "block_q", "interpret", "exp2")
 )
-def _fused_attention(qa, ka, v, *, L, bw, block_q, interpret):
+def _fused_attention(qa, ka, v, *, L, bw, block_q, interpret, exp2=False):
     BH, Lp, Da = qa.shape
     Dp = v.shape[2]
     flops = 2 * BH * Lp * Lp * (Da + Dp)
     if bw > 1:
         grid = (BH // bw,)
         return pl.pallas_call(
-            functools.partial(_attn_kernel, L=L, bw=bw),
+            functools.partial(_attn_kernel, L=L, bw=bw, exp2=exp2),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((bw, Lp, Da), lambda i: (i, 0, 0)),
@@ -369,7 +400,7 @@ def _fused_attention(qa, ka, v, *, L, bw, block_q, interpret):
         )(qa, ka, v)
     grid = (BH, Lp // block_q)
     return pl.pallas_call(
-        functools.partial(_attn_kernel_rowblock, L=L),
+        functools.partial(_attn_kernel_rowblock, L=L, exp2=exp2),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, Da), lambda b, i: (b, i, 0)),
@@ -437,8 +468,14 @@ def flash_attention_relpos(
     Lp = _round_up(L, 128)
     Da = _round_up(hd + kh + kw, 128)
 
-    qs = (q.astype(jnp.float32) * scale).astype(q.dtype).reshape(BH, L, hd)
+    exp2 = _use_exp2()
+    eff = scale * LOG2E if exp2 else scale
+    qs = (q.astype(jnp.float32) * eff).astype(q.dtype).reshape(BH, L, hd)
     ks = k.reshape(BH, L, hd)
+    if exp2 and rel_h is not None:
+        # the log2(e) prescale folds into the bias tiles' producer einsum
+        rel_h = (rel_h.astype(jnp.float32) * LOG2E).astype(rel_h.dtype)
+        rel_w = (rel_w.astype(jnp.float32) * LOG2E).astype(rel_w.dtype)
 
     # Global-shape default: bias as a VPU select/add per lane block (see
     # _attn_kernel_rowblock_bias3d), q·k back to the plain hd-lane dot.
@@ -467,7 +504,7 @@ def flash_attention_relpos(
         out = _fused_attention_bias3d(
             qs, ks, v.reshape(BH, L, hd),
             rel_h.reshape(BH, L, kh), rel_w.reshape(BH, L, kw),
-            kh=kh, kw=kw, block_q=block_q, interpret=interpret,
+            kh=kh, kw=kw, block_q=block_q, interpret=interpret, exp2=exp2,
         )
         return out.reshape(B, nh, L, hd)
 
@@ -507,7 +544,8 @@ def flash_attention_relpos(
         block_q = block_q_override
 
     out = _fused_attention(
-        qa, ka, vp, L=L, bw=bw, block_q=block_q, interpret=interpret
+        qa, ka, vp, L=L, bw=bw, block_q=block_q, interpret=interpret,
+        exp2=exp2,
     )
     return out[:, :L, :hd].reshape(B, nh, L, hd)
 
