@@ -179,6 +179,30 @@ def add_decomposed_rel_pos(
 # ---------------------------------------------------------------------------
 
 
+def _packed_rel_and_flash(
+    p: dict, qkv: jax.Array, nh: int, hd: int, kh: int, kw: int
+) -> jax.Array:
+    """Rel-pos tiles from the packed qkv activation + the packed flash call.
+
+    Shared by :func:`attention`'s packed branch and the hoisted-windowed
+    path so the kernel call convention / rel layout cannot drift between
+    them. ``qkv``: (NW, kh*kw, 3*nh*hd) — the qkv linear's output, heads
+    not split. Returns (NW, kh*kw, nh*hd), proj-ready.
+    """
+    from sam_quantization_tpu.ops import flash_attention
+
+    NW = qkv.shape[0]
+    Rh = get_rel_pos(kh, kh, p["rel_pos_h"]).astype(qkv.dtype)
+    Rw = get_rel_pos(kw, kw, p["rel_pos_w"]).astype(qkv.dtype)
+    qg = qkv[:, :, : nh * hd].reshape(NW, kh, kw, nh, hd)
+    rel_h = jnp.einsum("bhwnc,hkc->bnhwk", qg, Rh)
+    rel_w = jnp.einsum("bhwnc,wkc->bnhwk", qg, Rw)
+    rel = jnp.concatenate([rel_h, rel_w], -1).reshape(NW, nh, kh * kw, kh + kw)
+    return flash_attention.flash_attention_qkv_packed(
+        qkv, rel, hd**-0.5, nh=nh, hd=hd, kh=kh, kw=kw
+    )
+
+
 def attention(
     p: dict,
     x: jax.Array,
@@ -215,17 +239,7 @@ def attention(
         # output by BlockSpec index maps and the rel-pos augmentation happens
         # in VMEM — no head transpose, no padded qa/ka/vp arrays in HBM
         # (ops/flash_attention._attn_kernel_qkv_packed).
-        from sam_quantization_tpu.ops import flash_attention
-
-        Rh = get_rel_pos(H, H, p["rel_pos_h"]).astype(qkv.dtype)
-        Rw = get_rel_pos(W, W, p["rel_pos_w"]).astype(qkv.dtype)
-        qg = qkv[:, :, : nh * hd].reshape(B, H, W, nh, hd)
-        rel_h = jnp.einsum("bhwnc,hkc->bnhwk", qg, Rh)
-        rel_w = jnp.einsum("bhwnc,wkc->bnhwk", qg, Rw)
-        rel = jnp.concatenate([rel_h, rel_w], -1).reshape(B, nh, L, H + W)
-        out = flash_attention.flash_attention_qkv_packed(
-            qkv, rel, hd**-0.5, nh=nh, hd=hd, kh=H, kw=W
-        )
+        out = _packed_rel_and_flash(p, qkv, nh, hd, H, W)
         x = out.reshape(B, H, W, C)
         x = ctx.act(f"{path}.qact2", x)
         x = ctx.linear(f"{path}.proj", p["proj"], x)
@@ -325,8 +339,6 @@ def _attention_windowed_hoisted(
     """
     import dataclasses as _dc
 
-    from sam_quantization_tpu.ops import flash_attention
-
     B, H, W, C = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
     NW, L = -1, ws * ws
@@ -347,15 +359,7 @@ def _attention_windowed_hoisted(
         )
     NW = qkv.shape[0]
     qkv = qkv.reshape(NW, L, 3 * C)
-    Rh = get_rel_pos(ws, ws, p["rel_pos_h"]).astype(qkv.dtype)
-    Rw = get_rel_pos(ws, ws, p["rel_pos_w"]).astype(qkv.dtype)
-    qg = qkv[:, :, : nh * hd].reshape(NW, ws, ws, nh, hd)
-    rel_h = jnp.einsum("bhwnc,hkc->bnhwk", qg, Rh)
-    rel_w = jnp.einsum("bhwnc,wkc->bnhwk", qg, Rw)
-    rel = jnp.concatenate([rel_h, rel_w], -1).reshape(NW, nh, L, 2 * ws)
-    out = flash_attention.flash_attention_qkv_packed(
-        qkv, rel, hd**-0.5, nh=nh, hd=hd, kh=ws, kw=ws
-    )
+    out = _packed_rel_and_flash(p, qkv, nh, hd, ws, ws)
     out = window_unpartition(out.reshape(NW, ws, ws, C), ws, pad_hw, (H, W))
     return ctx.linear(f"{path}.proj", p["proj"], out)
 

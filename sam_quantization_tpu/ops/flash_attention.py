@@ -62,6 +62,15 @@ NEG_INF = -1e30
 # reference Triton kernel's 1.44269504 scaling (fused_attention.py:211-293).
 # SAMQ_FLASH_EXP2=0 opts out (then the log2e prescale is skipped and the
 # kernels call exp on plain-scaled logits).
+#
+# NOTE: all SAMQ_FLASH_* / SAMQ_HOIST_* env gates are read at TRACE time
+# (they become static jit arguments / branch choices). Flipping one
+# mid-process does NOT retrace programs that are already jitted and cached
+# — e.g. make_per_block_apply's memoized block jits — so an in-process A/B
+# that toggles the env var silently compares identical code. Set the gates
+# before the first trace (fresh process per arm), or pass the explicit
+# function arguments (``bias3d=``, ``bw_override=``, ...) for programmatic
+# A/Bs. Same caveat as SAMQ_FLASH_BIAS3D's, which these gates share.
 LOG2E = 1.4426950408889634
 
 

@@ -74,6 +74,47 @@ def test_flash_dispatch_overrides(bw, block_q):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
 
+@pytest.mark.parametrize("exp2", ["1", "0"])
+def test_flash_exp2_gate_parity(exp2, monkeypatch):
+    """Both kernel variants — exp2 softmax with the log2(e) prescale folded
+    into q/rel (default) and the SAMQ_FLASH_EXP2=0 opt-out (plain exp on
+    unscaled logits) — must match the eager reference. The gate is read at
+    trace time; flipping it changes a static jit argument, so each
+    parametrization traces its own kernel."""
+    if exp2 == "0":
+        monkeypatch.setenv("SAMQ_FLASH_EXP2", "0")
+    else:
+        monkeypatch.delenv("SAMQ_FLASH_EXP2", raising=False)
+    for B, nh, L, hd, kh, kw in [(2, 2, 196, 80, 14, 14), (1, 2, 1024, 64, 32, 32)]:
+        q, k, v, rel_h, rel_w = _mk(5, B, nh, L, hd, kh, kw)
+        out = flash_attention_relpos(
+            q, k, v, rel_h, rel_w, hd**-0.5, interpret=True
+        )
+        ref = attention_reference(q, k, v, rel_h, rel_w, hd**-0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+    # packed-qkv windowed kernel under the same gate
+    from sam_quantization_tpu.ops.flash_attention import (
+        flash_attention_qkv_packed,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(13), 2)
+    qkv = jax.random.normal(ks[0], (2, 196, 3 * 2 * 80), jnp.float32) * 0.5
+    rel = jax.random.normal(ks[1], (2, 2, 196, 28), jnp.float32) * 0.3
+    out = flash_attention_qkv_packed(
+        qkv, rel, 80**-0.5, nh=2, hd=80, kh=14, kw=14, interpret=True
+    )
+    q, k, v = (
+        qkv.reshape(2, 196, 3, 2, 80).transpose(2, 0, 3, 1, 4)[i]
+        for i in range(3)
+    )
+    ref = attention_reference(q, k, v, rel[..., :14], rel[..., 14:], 80**-0.5)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(ref.transpose(0, 2, 1, 3).reshape(2, 196, 160)),
+        atol=2e-3,
+    )
+
+
 def test_flash_no_relpos():
     q, k, v, _, _ = _mk(1, 2, 2, 196, 64, 14, 14)
     out = flash_attention_relpos(q, k, v, None, None, 0.125, interpret=True)
