@@ -36,6 +36,10 @@ class ClickEvalResult:
     mean_ious: List[float]  # mean IoU after click k (len = num_clicks)
     per_sample_ious: List[List[float]]
     seconds_per_image: float
+    # per-sample click sequences [(y, x, label), ...] — recorded so another
+    # harness (e.g. the reference's torch loop, tools/cross_validate_harness)
+    # can replay the identical clicks
+    clicks: Optional[List[List[Tuple[int, int, float]]]] = None
 
     @property
     def click1(self) -> float:
@@ -83,15 +87,22 @@ def click_loop_eval(
     seed: int = 42,
     img_size: int = 1024,
     verbose: bool = False,
+    clicks_override: Optional[List[List[Tuple[int, int, float]]]] = None,
 ) -> ClickEvalResult:
     """The 5-click random-click loop (ref evaluation2.py:225-334).
 
     ``samples`` yields (preprocessed image NHWC float (1, S, S, 3), gt mask
     (S, S) binary). The mask prompt is fed back from click 2 onward
     (evaluation2.py:301-306).
+
+    ``clicks_override``: per-sample pinned click sequences [(y, x, label)...]
+    replayed instead of the random-error-pixel rule — the cross-harness
+    validation seam (identical clicks through two harnesses must agree).
+    The clicks actually used are always recorded in ``result.clicks``.
     """
     rng = np.random.default_rng(seed)
     all_ious: List[List[float]] = []
+    all_clicks: List[List[Tuple[int, int, float]]] = []
     t0 = time.perf_counter()
     n = 0
     for image, gt in samples:
@@ -104,8 +115,13 @@ def click_loop_eval(
         mask_valid = jnp.zeros((1,), bool)
         prev_mask = np.zeros_like(gt, dtype=bool)
         ious: List[float] = []
+        sample_clicks: List[Tuple[int, int, float]] = []
         for click in range(num_clicks):
-            (cy, cx), lab = next_random_click(prev_mask, gt, rng)
+            if clicks_override is not None:
+                cy, cx, lab = clicks_override[n - 1][click]
+            else:
+                (cy, cx), lab = next_random_click(prev_mask, gt, rng)
+            sample_clicks.append((int(cy), int(cx), float(lab)))
             coords[0, click] = (cx, cy)  # model frame is (x, y)
             labels[0, click] = lab
             masks, low_res, _iou = decode(
@@ -117,6 +133,7 @@ def click_loop_eval(
             prev_mask = pred[: gt.shape[0], : gt.shape[1]]
             ious.append(metrics.get_iou(gt, prev_mask))
         all_ious.append(ious)
+        all_clicks.append(sample_clicks)
         if verbose:
             print(f"sample {n}: " + " ".join(f"{i:.3f}" for i in ious))
     elapsed = time.perf_counter() - t0
@@ -125,6 +142,7 @@ def click_loop_eval(
         mean_ious=list(arr.mean(axis=0)),
         per_sample_ious=all_ious,
         seconds_per_image=elapsed / max(n, 1),
+        clicks=all_clicks,
     )
 
 
