@@ -177,3 +177,54 @@ def export_decoder_savedmodel(
         for k, name in manifest["outputs"].items():
             fh.write(f"out {k} {name}\n")
     return manifest
+
+
+def export_encoder_savedmodel(model: sam_lib.Sam, directory: str) -> dict:
+    """Export the (possibly QUANTIZED) image encoder as a TF SavedModel for
+    the zero-Python C++ runner.
+
+    The reference runs its quantized encoder under an external engine inside
+    the eval loop (script/evaluation2.py:254-271 TRT branch,
+    fq_vit/test_quant.py:345-366 `Output/INT8.engine`); this is the
+    TPU-native analog: the int8-cached serving encoder (IntLinear trees —
+    plain int8 tensors + f32 scales, nn/packed.cache_int8) converts through
+    jax2tf like any dense model, and csrc/savedmodel_runner.cpp executes it
+    with zero Python (tested: test_export_and_amg.py encoder-runner test).
+
+    Same manifest protocol as :func:`export_decoder_savedmodel`.
+    """
+    import os
+
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    size = model.config.image_encoder.img_size
+
+    def encode(x):
+        return sam_lib.encode_image(model, x, attn_impl="xla")
+
+    f = jax2tf.convert(jax.jit(encode), with_gradient=False)
+    tfm = tf.Module()
+    tfm.f = tf.function(
+        f,
+        input_signature=[
+            tf.TensorSpec((1, size, size, 3), tf.float32, name="image"),
+        ],
+    )
+    cf = tfm.f.get_concrete_function()
+    tf.saved_model.save(tfm, directory, signatures={"serving_default": cf})
+
+    from tensorflow.python.tools import saved_model_utils
+
+    mg = saved_model_utils.get_meta_graph_def(directory, "serve")
+    sig = mg.signature_def["serving_default"]
+    manifest = {
+        "inputs": {k: v.name for k, v in sig.inputs.items()},
+        "outputs": {k: v.name for k, v in sig.outputs.items()},
+    }
+    with open(os.path.join(directory, "manifest.txt"), "w") as fh:
+        for k, name in manifest["inputs"].items():
+            fh.write(f"in {k} {name}\n")
+        for k, name in manifest["outputs"].items():
+            fh.write(f"out {k} {name}\n")
+    return manifest
