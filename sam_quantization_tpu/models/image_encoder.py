@@ -229,10 +229,18 @@ def attention(
 
         sp = sp_mod.active_sp(L)
 
-    use_flash = attn_impl == "flash" or (
-        attn_impl == "auto"
-        and type(ctx) is type(NULL_CTX)  # FP/GPTQ only; FQ needs the hooks
-        and jax.default_backend() == "tpu"
+    tp_active = None
+    if type(ctx) is type(NULL_CTX):
+        from sam_quantization_tpu.parallel import mesh as mesh_lib
+
+        tp_active = mesh_lib.active_tp(nh)
+
+    use_flash = tp_active is None and (
+        attn_impl == "flash" or (
+            attn_impl == "auto"
+            and type(ctx) is type(NULL_CTX)  # FP/GPTQ only; FQ needs hooks
+            and jax.default_backend() == "tpu"
+        )
     )
     if use_flash and sp is None and L <= 512 and cfg.use_rel_pos:
         # Packed-qkv windowed kernel: heads are sliced out of the projection
@@ -245,6 +253,54 @@ def attention(
         x = ctx.linear(f"{path}.proj", p["proj"], x)
         x = ctx.act(f"{path}.qact3", x)
         return x
+
+    # Tensor-parallel attention: the merged (B*nh) einsum form below cannot
+    # keep heads sharded under GSPMD (inner-factor sharding of a merged dim
+    # is inexpressible), which makes the compiler all-gather the full qkv
+    # activation per block (measured 75 MB at ViT-H windowed,
+    # tools/mesh_collectives.py). Inside a parallel.mesh.tensor_parallel
+    # context, run the unmerged (B, nh, L, hd) form with explicit head
+    # sharding constraints so the block keeps the Megatron 2-psum schedule.
+    if sp is None and tp_active is not None:
+        from sam_quantization_tpu.parallel import mesh as mesh_lib
+
+        mesh, axis, packed = tp_active
+        tpn = mesh.shape[axis]
+        if packed:
+            # tp-major head-interleaved qkv columns (mesh_lib.tp_pack_qkv):
+            # the sharded factor is MAJOR in the reshape, so head sharding
+            # is expressible and no gather is emitted.
+            qkv6 = qkv.reshape(B, L, tpn, 3, nh // tpn, hd)
+            qkv6 = qkv6.transpose(3, 0, 2, 4, 1, 5)  # (3, B, tp, nh_t, L, hd)
+            qkv6 = mesh_lib.tp_constrain(qkv6, 2, mesh, axis)
+            q, k, v = qkv6[0], qkv6[1], qkv6[2]  # (B, tp, nh_t, L, hd)
+        else:
+            qkv5 = qkv.reshape(B, L, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+            # (B, 1, nh, L, hd): same einsums, no layout claim (the stock
+            # [q|k|v] fused layout cannot shard head-aligned — kept as the
+            # measured-negative baseline, tools/mesh_collectives --no-tp-ctx)
+            q, k, v = (t[:, None] for t in (qkv5[0], qkv5[1], qkv5[2]))
+        s = jnp.einsum(
+            "bdnqc,bdnkc->bdnqk", q * (hd**-0.5), k,
+            preferred_element_type=jnp.float32,
+        )
+        if cfg.use_rel_pos:
+            Rh = get_rel_pos(H, H, p["rel_pos_h"]).astype(q.dtype)
+            Rw = get_rel_pos(W, W, p["rel_pos_w"]).astype(q.dtype)
+            qg = q.reshape(*q.shape[:3], H, W, hd)
+            rel_h = jnp.einsum("bdnhwc,hkc->bdnhwk", qg, Rh)
+            rel_w = jnp.einsum("bdnhwc,wkc->bdnhwk", qg, Rw)
+            bias = rel_h[..., :, None] + rel_w[..., None, :]
+            s = s + bias.reshape(*s.shape).astype(jnp.float32)
+        attn = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+        out = jnp.einsum(
+            "bdnqk,bdnkc->bdnqc", attn, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)  # (B, tp|1, nh_t|nh, L, hd)
+        # channel order after merging (tp, nh_t) is ascending heads — the
+        # original proj input layout, so the in-sharded proj is unchanged
+        out = out.transpose(0, 3, 1, 2, 4).reshape(B, H, W, C)
+        out = mesh_lib.tp_constrain(out, 3, mesh, axis)  # C = heads*hd
+        return ctx.linear(f"{path}.proj", p["proj"], out)
 
     qkv = qkv.reshape(B, L, 3, nh, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]  # (B, nh, L, hd)

@@ -19,13 +19,131 @@ Sharding rules:
 
 from __future__ import annotations
 
-from typing import Optional
+import contextlib
+from typing import List, Optional, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sam_quantization_tpu.nn.packed import IntLinear, PackedLinear
+
+# ---------------------------------------------------------------------------
+# Active tensor-parallel context. The Megatron pairing (qkv/lin1 out-sharded,
+# proj/lin2 in-sharded) only yields its intended 2-psums-per-block schedule
+# if the ATTENTION between qkv and proj keeps heads sharded. The model's
+# attention code merges (B, nh) into one dim for its einsums, and GSPMD
+# cannot represent "inner factor sharded" on a merged dimension — measured
+# consequence (tools/mesh_collectives.py): the compiler all-gathers the full
+# qkv activation (75 MB per ViT-H windowed block) and runs attention
+# replicated. With this context active, models/image_encoder.attention takes
+# an unmerged (B, nh, L, hd) path with explicit sharding constraints and the
+# all-gathers disappear (re-audited in BENCHMARKS.md).
+# ---------------------------------------------------------------------------
+
+_TP_ACTIVE: List[Tuple[Mesh, str, bool]] = []
+
+
+@contextlib.contextmanager
+def tensor_parallel(mesh: Mesh, axis: str = "tp", packed_qkv: bool = True):
+    """Within the body, the encoder's attention keeps heads sharded on
+    ``axis`` (constraint-guided GSPMD) — use around tp-sharded forwards.
+
+    ``packed_qkv=True`` declares that the qkv weights were re-laid-out by
+    :func:`tp_pack_qkv` (tp-major head interleave). This is what actually
+    removes the all-gather: with the stock ``[q|k|v]`` fused column layout,
+    an N-sharding boundary falls INSIDE q, head-aligned sharding of the
+    (B, L, 3, nh, hd) reshape is inexpressible, and GSPMD gathers the whole
+    qkv activation (measured 75 MB per ViT-H windowed block,
+    tools/mesh_collectives.py --no-tp-ctx).
+    """
+    _TP_ACTIVE.append((mesh, axis, packed_qkv))
+    try:
+        yield
+    finally:
+        _TP_ACTIVE.pop()
+
+
+def active_tp(num_heads: int) -> Optional[Tuple[Mesh, str, bool]]:
+    """(mesh, axis, packed_qkv) when a tensor-parallel context is active and
+    the head count divides over it."""
+    if not _TP_ACTIVE:
+        return None
+    mesh, axis, packed = _TP_ACTIVE[-1]
+    if num_heads % mesh.shape[axis] != 0:
+        return None
+    return mesh, axis, packed
+
+
+def _qkv_perm(nh: int, hd: int, tp: int) -> np.ndarray:
+    """Column permutation [q|k|v] (head-major) -> tp-major interleave
+    [q_d | k_d | v_d for shard d]: contiguous N-chunks become head-aligned,
+    so P(None, tp) weight sharding IS Megatron head sharding."""
+    return (
+        np.arange(3 * nh * hd)
+        .reshape(3, tp, nh // tp, hd)
+        .transpose(1, 0, 2, 3)
+        .reshape(-1)
+    )
+
+
+def tp_pack_qkv(encoder_params: dict, num_heads: int, tp: int) -> dict:
+    """Re-lay every block's fused qkv columns for tensor parallelism.
+
+    Works on dense dicts, :class:`IntLinear`, and :class:`PackedLinear`
+    (block-planar packing runs along K, so an N permutation is exact).
+    Pair with ``tensor_parallel(mesh, packed_qkv=True)`` — the attention
+    branch consumes the permuted layout; output channel order is unchanged
+    (heads stay in ascending order), so proj needs no change.
+    """
+    import dataclasses
+
+    def permute(p, idx):
+        if isinstance(p, IntLinear):
+            return dataclasses.replace(
+                p,
+                w8=p.w8[:, idx],
+                scales=p.scales[:, idx],
+                bias=None if p.bias is None else p.bias[idx],
+                in_scale=p.in_scale,
+            )
+        if isinstance(p, PackedLinear):
+            return dataclasses.replace(
+                p,
+                qweight=p.qweight[:, idx],
+                qweight_hi=None if p.qweight_hi is None else p.qweight_hi[:, idx],
+                scales=p.scales[:, idx],
+                zeros=p.zeros[:, idx],
+                bias=None if p.bias is None else p.bias[idx],
+            )
+        q = {"w": p["w"][:, idx]}
+        if "b" in p:
+            q["b"] = p["b"][idx]
+        return q
+
+    out = dict(encoder_params)
+    blocks = []
+    for blk in encoder_params["blocks"]:
+        hd = (
+            blk["attn"]["qkv"]["w"].shape[1]
+            if isinstance(blk["attn"]["qkv"], dict)
+            else blk["attn"]["qkv"].out_features
+        ) // (3 * num_heads)
+        idx = _qkv_perm(num_heads, hd, tp)
+        nblk = dict(blk)
+        nattn = dict(blk["attn"])
+        nattn["qkv"] = permute(blk["attn"]["qkv"], idx)
+        nblk["attn"] = nattn
+        blocks.append(nblk)
+    out["blocks"] = blocks
+    return out
+
+
+def tp_constrain(x: jax.Array, dim: int, mesh: Mesh, axis: str) -> jax.Array:
+    """Constrain ``x`` to be sharded on ``axis`` along dimension ``dim``."""
+    spec = [None] * x.ndim
+    spec[dim] = axis
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
 
 def make_mesh(

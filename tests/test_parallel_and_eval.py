@@ -178,3 +178,87 @@ def test_intlinear_sharding_specs(rng):
         VIT_TINY.image_encoder, attn_impl="xla",
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tp_packed_qkv_attention_matches_plain(rng):
+    """tensor_parallel ctx + tp_pack_qkv: the tp-major head-interleaved
+    attention path is numerically identical to the plain forward, and the
+    compiled HLO contains NO all-gather of the qkv activation (only the two
+    Megatron psums per block — measured in tools/mesh_collectives.py)."""
+    import numpy as np
+    from sam_quantization_tpu.models import image_encoder
+    from sam_quantization_tpu.models.configs import VIT_TINY
+    from sam_quantization_tpu.parallel import mesh as mesh_lib
+
+    ecfg = VIT_TINY.image_encoder
+    params = image_encoder.init(jax.random.PRNGKey(3), ecfg)
+    x = jnp.asarray(rng.normal(size=(2, ecfg.img_size, ecfg.img_size, 3)),
+                    jnp.float32)
+    plain = image_encoder.apply(params, x, ecfg, attn_impl="xla")
+
+    mesh = mesh_lib.make_mesh(4, tp=2)
+    packed = mesh_lib.tp_pack_qkv(params, ecfg.num_heads, 2)
+    specs = mesh_lib.encoder_param_specs(packed)
+    sharded = mesh_lib.shard_params(packed, mesh, specs)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+    fn = jax.jit(lambda p, xi: image_encoder.apply(p, xi, ecfg, attn_impl="xla"))
+    with mesh_lib.tensor_parallel(mesh):
+        lowered = fn.lower(sharded, xs)
+        compiled = lowered.compile()
+        out = fn(sharded, xs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(plain), rtol=2e-4, atol=2e-4
+    )
+    (hlo,) = compiled.runtime_executable().hlo_modules()
+    txt = hlo.to_string()
+    # No LARGE all-gather: the broken schedule gathered the whole qkv
+    # activation (75 MB/block at ViT-H; ~200 KB at this tiny shape). Stray
+    # sub-100KB gathers of rel-pos tiles are fine.
+    import re
+
+    gathers = []
+    for line in txt.splitlines():
+        m = re.match(
+            r"\s*[%\w.-]+ = (\w+)\[([\d,]*)\][^=]*?all-gather\(", line
+        )
+        if m:
+            dims = [int(d) for d in m.group(2).split(",") if d]
+            size = 4
+            for d in dims:
+                size *= d
+            gathers.append((line.strip()[:80], size))
+    big = [g for g in gathers if g[1] > 100_000]
+    assert not big, big
+    assert "all-reduce" in txt  # the Megatron psums
+
+
+def test_tp_pack_qkv_quantized_trees(rng):
+    """tp_pack_qkv permutes IntLinear / PackedLinear qkv columns exactly
+    (dequantized dense views agree with the dense permutation)."""
+    import numpy as np
+    from sam_quantization_tpu.models import image_encoder
+    from sam_quantization_tpu.models.configs import VIT_TINY
+    from sam_quantization_tpu.nn import functional as F
+    from sam_quantization_tpu.nn.packed import cache_int8
+    from sam_quantization_tpu.parallel import mesh as mesh_lib
+    from sam_quantization_tpu.quant import gptq, sequential
+
+    ecfg = VIT_TINY.image_encoder
+    params = image_encoder.init(jax.random.PRNGKey(5), ecfg)
+    qp = sequential.rtn_quantize_encoder(
+        params, gptq.GPTQConfig(bits=4, groupsize=0, sym=True)
+    )
+    dense_q = F.to_fp32_weight(qp["blocks"][0]["attn"]["qkv"])
+    idx = mesh_lib._qkv_perm(ecfg.num_heads, ecfg.head_dim, 2)
+
+    packed = mesh_lib.tp_pack_qkv(qp, ecfg.num_heads, 2)
+    got = F.to_fp32_weight(packed["blocks"][0]["attn"]["qkv"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(dense_q[:, idx]))
+
+    cached = cache_int8(qp, skip=None)
+    packed8 = mesh_lib.tp_pack_qkv(cached, ecfg.num_heads, 2)
+    w8 = np.asarray(cached["blocks"][0]["attn"]["qkv"].w8)
+    got8 = np.asarray(packed8["blocks"][0]["attn"]["qkv"].w8)
+    np.testing.assert_array_equal(got8, w8[:, idx])

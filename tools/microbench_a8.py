@@ -84,16 +84,29 @@ def bench_linear(M, K, N, reps):
         ).astype(jnp.int8)
         return int8_pre_op(xq)
 
+    # weights stored transposed (N, K), both operands contract dim 1 — the
+    # MXU ingests the stationary operand differently; measured faster at
+    # 4096^3 in tools/microbench_int4.py, checked here at layer shapes
+    w8t = jnp.asarray(np.asarray(w8).T)
+
+    def int8_preT_op(xq):
+        acc = jax.lax.dot_general(
+            xq, w8t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        return jnp.sum(acc * s_col[None, :] * in_scale)
+
     iters = 16 * reps
     t_bf = timed_scan(bf16_op, xs, iters)
     t_pre = timed_scan(int8_pre_op, xqs, iters)
     t_sta = timed_scan(int8_static_op, xs, iters)
+    t_preT = timed_scan(int8_preT_op, xqs, iters)
     gf = 2 * M * K * N / 1e9
     print(
         f"  M={M} K={K} N={N}: bf16 {1e3 * t_bf:.3f} ms ({gf / t_bf / 1e3:.0f}"
         f" TF/s)  int8-pre {1e3 * t_pre:.3f} ms ({gf / t_pre / 1e3:.0f} TOP/s)"
-        f"  int8-static {1e3 * t_sta:.3f} ms  "
-        f"ratios pre {t_bf / t_pre:.2f}x / static {t_bf / t_sta:.2f}x",
+        f"  int8-static {1e3 * t_sta:.3f} ms  int8-preT {1e3 * t_preT:.3f} ms"
+        f"  ratios pre {t_bf / t_pre:.2f}x / static {t_bf / t_sta:.2f}x"
+        f" / preT {t_bf / t_preT:.2f}x",
         flush=True,
     )
 
