@@ -250,12 +250,14 @@ def main():
     ap.add_argument("--static-act", action="store_true",
                     help="with --a8-cached: calibrate static activation "
                          "scales (no per-token amax reduction)")
-    ap.add_argument("--a8-skip", default="attn.proj",
+    ap.add_argument("--a8-skip", default=None,
                     help="comma-separated layer-path substrings routed to "
                          "bf16 in the a8-cached mode ('' = every linear "
-                         "int8). Default reflects the ViT-B measurement; "
-                         "at ViT-H attn.proj wins in int8 "
-                         "(tools/microbench_a8.py round 3)")
+                         "int8). Default is per-model measurement-driven: "
+                         "'attn.proj' at ViT-B/tiny (int8 proj loses, "
+                         "0.82x) but EMPTY at ViT-L/H where the 1280-wide "
+                         "proj wins in int8 (1.16x static; matched A/B "
+                         "42.32 -> 41.59 ms/img, tools/microbench_a8.py r3)")
     ap.add_argument("--keep-packed-mlp", action="store_true",
                     help="with --a8-cached: keep mlp lin1/lin2 as packed "
                          "int4 so the fused Pallas MLP handles them "
@@ -352,7 +354,10 @@ def main():
                 table[args.model] = act_scales
                 with open(cache_path, "w") as f:
                     json.dump(table, f, indent=1, sort_keys=True)
-        skip = tuple(s for s in args.a8_skip.split(",") if s)
+        a8_skip = args.a8_skip
+        if a8_skip is None:
+            a8_skip = "" if args.model in ("vit_l", "vit_h") else "attn.proj"
+        skip = tuple(s for s in a8_skip.split(",") if s)
         qparams = cache_int8(
             qparams, act_scales=act_scales, skip=skip,
             keep_packed=("mlp.",) if args.keep_packed_mlp else (),

@@ -271,10 +271,14 @@ def calibrate_sam(
     samples,
     fqcfg: FQConfig,
     max_points: int = 24,
+    overrides=None,
 ) -> QParams:
     """Calibrate encoder + mask-decoder observation points with a 1-click
     forward per sample. ``samples``: iterable of (image (1, S, S, 3) float,
     gt mask (S, S)) pairs; the click lands at the gt's center of mass.
+    ``overrides``: per-point observer/bits/skip rules (quant.overrides) —
+    the diagnose→act seam, as in the reference's per-op
+    init_quantize_config overrides (script/custimized_quant.py:56-147).
     """
     import numpy as np
 
@@ -282,7 +286,7 @@ def calibrate_sam(
 
     @functools.partial(jax.jit, static_argnames=("mode",))
     def step(model, x, coords, labels, state, mode):
-        ctx = FQCtx(mode, fqcfg, state)
+        ctx = FQCtx(mode, fqcfg, state, overrides=overrides)
         emb = sam_lib.encode_image(model, sam_lib.preprocess(model, x), ctx,
                                    attn_impl="xla")
         # The reference calibrates with masks=low_res_masks (zeros before the
@@ -314,7 +318,7 @@ def calibrate_sam(
     return qparams
 
 
-def quantize_sam(model, fqcfg: FQConfig, qparams: QParams):
+def quantize_sam(model, fqcfg: FQConfig, qparams: QParams, overrides=None):
     """Fake-quantize all weights of a Sam pytree; returns (model, ctx factory)."""
     from sam_quantization_tpu.models.sam import Sam
 
@@ -326,6 +330,70 @@ def quantize_sam(model, fqcfg: FQConfig, qparams: QParams):
     )
 
     def make_ctx():
-        return FQCtx("quant", fqcfg, qparams=qparams)
+        return FQCtx("quant", fqcfg, qparams=qparams, overrides=overrides)
 
     return qmodel, make_ctx
+
+
+def fq_pointwise_snr(model, samples, fqcfg: FQConfig, qparams: QParams,
+                     max_points: int = 24):
+    """Diagnose: per-observation-point LOCAL quantization SNR under the
+    ``quant`` ctx — for each QAct point, 10·log10(‖x‖²/‖x−q(x)‖²) of the
+    activation it actually sees (downstream of all upstream quantization).
+    The FQ analog of layerwise_error_analyse (ref graphwise_error_analyse,
+    script/analysis.py:596-625); feed the worst points to
+    ``quant.overrides.QuantOverrides`` and recalibrate.
+
+    Returns {path: snr_db} sorted ascending (worst first).
+    """
+    import numpy as np
+
+    from sam_quantization_tpu.models import sam as sam_lib
+    from sam_quantization_tpu.quant import quantizers as qz
+
+    class SnrCtx(FQCtx):
+        def __init__(self):
+            super().__init__("quant", fqcfg, qparams=qparams)
+            self.err: Dict[str, jax.Array] = {}
+            self.pw: Dict[str, jax.Array] = {}
+
+        def act(self, path, x, ln_input=False):
+            y = super().act(path, x, ln_input=ln_input)
+            xf = x.astype(jnp.float32)
+            yf = y.astype(jnp.float32)
+            self.err[path] = self.err.get(path, 0.0) + jnp.sum((xf - yf) ** 2)
+            self.pw[path] = self.pw.get(path, 0.0) + jnp.sum(xf**2)
+            return y
+
+    @jax.jit
+    def run(model, x, coords, labels):
+        ctx = SnrCtx()
+        emb = sam_lib.encode_image(model, sam_lib.preprocess(model, x), ctx,
+                                   attn_impl="xla")
+        h, w = model.config.prompt_encoder.image_embedding_size
+        zero_mask = jnp.zeros((x.shape[0], 4 * h, 4 * w, 1), jnp.float32)
+        sam_lib.decode_masks(
+            model, emb, points=(coords, labels), mask_inputs=zero_mask,
+            multimask_output=False, ctx=ctx,
+        )
+        return ctx.err, ctx.pw
+
+    err: Dict[str, float] = {}
+    pw: Dict[str, float] = {}
+    for img, gt in samples:
+        ys, xs = np.nonzero(gt)
+        cy, cx = (int(ys.mean()), int(xs.mean())) if len(ys) else (0, 0)
+        coords = np.zeros((1, max_points, 2), np.float32)
+        labels = -np.ones((1, max_points), np.float32)
+        coords[0, 0] = (cx, cy)
+        labels[0, 0] = 1.0
+        e, p = run(model, jnp.asarray(img), jnp.asarray(coords),
+                   jnp.asarray(labels))
+        for k in e:
+            err[k] = err.get(k, 0.0) + float(e[k])
+            pw[k] = pw.get(k, 0.0) + float(p[k])
+    snr = {
+        k: 10.0 * np.log10(max(pw[k], 1e-30) / max(err[k], 1e-30))
+        for k in err
+    }
+    return dict(sorted(snr.items(), key=lambda kv: kv[1]))

@@ -265,3 +265,50 @@ def test_per_block_apply_matches(rng):
     run = ie.make_per_block_apply(ECFG, attn_impl="xla")
     per = np.asarray(run(params, x))
     np.testing.assert_allclose(per, whole, rtol=2e-5, atol=2e-5)
+
+
+def test_fq_pointwise_snr_diagnose_act(rng):
+    """The FQ diagnose→act flow (VERDICT r2 #4): fq_pointwise_snr ranks
+    observation points; skip-overrides on the worst points route exactly
+    those LayerNorms to FP while every other LN stays integer (quality
+    effect measured in tools/fq_tune.py: NoC@90 4.62 → 2.46)."""
+    from sam_quantization_tpu.models import sam as sam_lib
+    from sam_quantization_tpu.quant.fq.pipeline import (
+        calibrate_sam, fq_pointwise_snr, quantize_sam,
+    )
+    from sam_quantization_tpu.quant.overrides import QuantOverrides
+
+    model = sam_lib.init(jax.random.PRNGKey(0), VIT_TINY)
+    size = VIT_TINY.image_encoder.img_size
+    samples = []
+    for i in range(2):
+        img = rng.normal(size=(1, size, size, 3)).astype(np.float32) * 30 + 128
+        gt = np.zeros((size, size), np.int32)
+        gt[40:90, 30:80] = 1
+        samples.append((img, gt))
+    fqcfg = FQConfig()
+    qp = calibrate_sam(model, samples, fqcfg)
+    qmodel, _ = quantize_sam(model, fqcfg, qp)
+    snr = fq_pointwise_snr(qmodel, samples[:1], fqcfg, qp)
+    assert len(snr) > 30
+    vals = list(snr.values())
+    assert vals == sorted(vals)  # worst first
+    assert all(np.isfinite(v) for v in vals)
+
+    # act: skip an LN-input point -> that LN (and only that one) runs FP
+    target_in = "blocks.1.qact2"  # norm2 input of block 1
+    assert target_in in snr
+    ov = QuantOverrides().add(target_in, skip=True)
+    qp2 = calibrate_sam(model, samples, fqcfg, overrides=ov)
+    assert target_in not in qp2  # skipped points record no qparams
+    qmodel2, make_ctx = quantize_sam(model, fqcfg, qp2, overrides=ov)
+    ctx = make_ctx()
+    sam_lib.encode_image(
+        qmodel2,
+        sam_lib.preprocess(qmodel2, jnp.asarray(samples[0][0])),
+        ctx,
+        attn_impl="xla",
+    )
+    assert ctx.ln_modes["blocks.1.norm2"] == "fp"
+    others = {k: v for k, v in ctx.ln_modes.items() if k != "blocks.1.norm2"}
+    assert others and all(v == "int" for v in others.values()), others
