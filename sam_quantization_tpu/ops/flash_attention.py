@@ -135,6 +135,7 @@ def _attn_kernel_qkv_packed(
     """
     Lp = q_ref.shape[1]
     dt = o_ref.dtype
+    batched = os.environ.get("SAMQ_PACKED_BATCHED") == "1"
     eh = (
         jax.lax.broadcasted_iota(jnp.int32, (Lp, kh), 0) // kw
         == jax.lax.broadcasted_iota(jnp.int32, (Lp, kh), 1)
@@ -154,6 +155,45 @@ def _attn_kernel_qkv_packed(
         sel = jnp.concatenate([sel, maskcol], axis=-1)
     one = jnp.ones((Lp, 1), dt)
     for b in range(bw):
+        if batched:
+            # SAMQ_PACKED_BATCHED=1: stack all heads and run TWO batched
+            # dots + ONE whole-problem softmax instead of nh sequential
+            # small-dot/softmax pairs — gives Mosaic the full head batch to
+            # schedule at once (A/B'd on-chip; see BENCHMARKS.md r3).
+            qa_l, ka_l, v_l = [], [], []
+            for h in range(nh):
+                q = q_ref[b][:, h * hd : (h + 1) * hd]
+                k = k_ref[b][:, h * hd : (h + 1) * hd]
+                v = v_ref[b][:, h * hd : (h + 1) * hd]
+                qs = (q.astype(jnp.float32) * scale).astype(o_ref.dtype)
+                if Lp > L:
+                    k = jnp.where(rowmask, k, 0)
+                    v = jnp.where(rowmask, v, 0)
+                    qa_l.append(jnp.concatenate([qs, rel_ref[b, h], one], -1))
+                else:
+                    qa_l.append(jnp.concatenate([qs, rel_ref[b, h]], -1))
+                ka_l.append(jnp.concatenate([k, sel], -1))
+                v_l.append(v)
+            qa = jnp.stack(qa_l)  # (nh, Lp, Da)
+            ka = jnp.stack(ka_l)
+            vv = jnp.stack(v_l)  # (nh, Lp, hd)
+            s = jax.lax.dot_general(
+                qa, ka,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (nh, Lp, Lp)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = _kexp(s - m, exp2)
+            r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(vv.dtype), vv,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (nh, Lp, hd)
+            o = (o * r).astype(o_ref.dtype)
+            for h in range(nh):
+                o_ref[b, :, h * hd : (h + 1) * hd] = o[h]
+            continue
         for h in range(nh):
             q = q_ref[b][:, h * hd : (h + 1) * hd]
             k = k_ref[b][:, h * hd : (h + 1) * hd]
@@ -267,6 +307,9 @@ def flash_attention_qkv_packed(
     bw = max(d for d in range(1, bw_max + 1) if NW % d == 0)
     if bw_override is not None and NW % bw_override == 0:
         bw = bw_override
+    env_bw = os.environ.get("SAMQ_PACKED_BW")  # trace-time gate (see note)
+    if env_bw and NW % int(env_bw) == 0:
+        bw = int(env_bw)
     out = _fused_attention_qkv_packed(
         qkv, rel, nh=nh, hd=hd, L=L, kh=kh, kw=kw, scale=scale, bw=bw,
         interpret=interpret, exp2=exp2,

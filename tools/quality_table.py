@@ -27,7 +27,7 @@ def parse_args(argv=None):
     p.add_argument("--ckpt", default="checkpoints/vit_tiny_synth")
     p.add_argument("--model", default="vit_tiny")
     p.add_argument("--name", default="best", choices=["best", "latest"])
-    p.add_argument("--eval-samples", type=int, default=24)
+    p.add_argument("--eval-samples", type=int, default=128)
     p.add_argument("--calib-samples", type=int, default=8)
     p.add_argument("--num-clicks", type=int, default=5)
     p.add_argument("--noc-clicks", type=int, default=12)
@@ -36,7 +36,7 @@ def parse_args(argv=None):
     p.add_argument(
         "--configs", nargs="*",
         default=["fp32", "gptq_int4", "gptq_int3", "rtn_int4", "fq_int8",
-                 "a8_serving"],
+                 "fq_int8_tuned", "a8_serving"],
     )
     p.add_argument(
         "--merge", action="store_true",
@@ -203,22 +203,42 @@ def main(argv=None):
         )
         arr = np.asarray(noc_res.per_sample_ious)  # (n, clicks)
         noc = {}
+        boot = np.random.default_rng(0)
+        n = arr.shape[0]
+        bidx = boot.integers(0, n, size=(1000, n))
         for thr in (0.80, 0.85, 0.90):
             reach = arr >= thr
             first = np.where(
                 reach.any(axis=1), reach.argmax(axis=1) + 1, args.noc_clicks
             )
             noc[f"noc@{int(thr * 100)}"] = float(first.mean())
-        return res, noc
+            bs = first[bidx].mean(axis=1)
+            noc[f"noc@{int(thr * 100)}_ci95"] = [
+                round(float(np.percentile(bs, 2.5)), 2),
+                round(float(np.percentile(bs, 97.5)), 2),
+            ]
+        # bootstrap CI for the click-k mIoUs (resample scenes, 1000 draws)
+        ious = np.asarray(res.per_sample_ious)  # (n, clicks)
+        ci = {}
+        for col, key in ((0, "click1"), (ious.shape[1] - 1,
+                                         f"click{args.num_clicks}")):
+            bs = ious[bidx, col].mean(axis=1)
+            ci[f"{key}_ci95"] = [
+                round(float(np.percentile(bs, 2.5)), 4),
+                round(float(np.percentile(bs, 97.5)), 4),
+            ]
+        return res, noc, ci
 
     rows = {}
     for name in args.configs:
         qmodel, make_ctx = encoder_variant(name)
-        res, noc = evaluate(qmodel, make_ctx)
+        res, noc, ci = evaluate(qmodel, make_ctx)
         rows[name] = {
             "click1_miou": round(res.click1, 4),
             f"click{args.num_clicks}_miou": round(res.final, 4),
-            **{k: round(v, 2) for k, v in noc.items()},
+            **{k: (round(v, 2) if not isinstance(v, list) else v)
+               for k, v in noc.items()},
+            **ci,
         }
         print(name, rows[name], flush=True)
 
