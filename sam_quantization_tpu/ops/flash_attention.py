@@ -135,7 +135,14 @@ def _attn_kernel_qkv_packed(
     """
     Lp = q_ref.shape[1]
     dt = o_ref.dtype
-    batched = os.environ.get("SAMQ_PACKED_BATCHED") == "1"
+    # Batched-head dots are the default: stacking all nh heads into two
+    # batched dot_generals + one whole-problem softmax beats the sequential
+    # per-head loop by 8% of the ViT-H windowed STAGE (31.17 -> 28.70
+    # ms/img, matched on-chip A/B, round 3) — Mosaic schedules the head
+    # batch as one unit instead of nh isolated small-dot/softmax pairs.
+    # SAMQ_PACKED_BATCHED=0 opts back into the sequential form (trace-time
+    # gate, see the env-gate note at the top of this module).
+    batched = os.environ.get("SAMQ_PACKED_BATCHED") != "0"
     eh = (
         jax.lax.broadcasted_iota(jnp.int32, (Lp, kh), 0) // kw
         == jax.lax.broadcasted_iota(jnp.int32, (Lp, kh), 1)
@@ -550,6 +557,9 @@ def flash_attention_relpos(
         block_q = min(Lp, 256)
         if block_q_override is not None and Lp % block_q_override == 0:
             block_q = block_q_override
+        env_bq = os.environ.get("SAMQ_GLOBAL_BLOCK_Q")  # trace-time gate
+        if env_bq and Lp % int(env_bq) == 0:
+            block_q = int(env_bq)
         # No lane padding: Pallas accepts full-dim trailing blocks (hd=80,
         # kh/kw=64), the MXU pads registers internally, and skipping the
         # pads removes five (BH, L, 128) staging writes per call.
