@@ -72,6 +72,9 @@ def _chained_throughput(apply_fn, params, x, chain, reps):
     return B * chain / dt
 
 
+_SEGMENTS_LAST = []  # per-pass stage breakdowns, emitted in the JSON line
+
+
 def _segments_throughput(params, x, ecfg, attn_impl, reps, seg_reps):
     """Device-honest ViT-L/H timing without a whole-program compile: the
     encoder's four stages (embed / windowed blocks / global blocks / neck)
@@ -197,6 +200,13 @@ def _segments_throughput(params, x, ecfg, attn_impl, reps, seg_reps):
         f"neck {1e3 * t_neck:.2f} = {1e3 * total:.2f}",
         file=sys.stderr, flush=True,
     )
+    _SEGMENTS_LAST.append({
+        "embed_ms": round(1e3 * t_embed, 3),
+        "windowed_ms": round(1e3 * t_win, 3),
+        "global_ms": round(1e3 * t_glob, 3),
+        "neck_ms": round(1e3 * t_neck, 3),
+        "total_ms": round(1e3 * total, 3),
+    })
     return x.shape[0] / total
 
 
@@ -388,17 +398,24 @@ def main():
     ) + ("_kpmlp" if args.keep_packed_mlp else "")
     print(f"[bench] {tag}: {q_ips:.3f} img/s", file=sys.stderr, flush=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"sam_{args.model}_encoder_{tag}_throughput",
-                "value": round(q_ips, 4),
-                "unit": "images/s/chip",
-                "vs_baseline": round(q_ips / fp_ips, 4),
-            }
-        ),
-        flush=True,
-    )
+    record = {
+        "metric": f"sam_{args.model}_encoder_{tag}_throughput",
+        "value": round(q_ips, 4),
+        "unit": "images/s/chip",
+        "vs_baseline": round(q_ips / fp_ips, 4),
+        # matched-pair context (VERDICT r2 weak #7): both arms of THIS run,
+        # plus the documented run-to-run band for single-run readers
+        "bf16_img_s": round(fp_ips, 4),
+        "bf16_skipped": bool(args.skip_fp),
+        "run_variance_note": "single-run; axon tunnel run-to-run band is "
+                             "±5-7% — same-run vs_baseline is the honest "
+                             "comparator (BENCHMARKS.md honesty box)",
+    }
+    if _SEGMENTS_LAST:
+        if not args.skip_fp and len(_SEGMENTS_LAST) > 1:
+            record["bf16_segments_ms"] = _SEGMENTS_LAST[0]
+        record["quant_segments_ms"] = _SEGMENTS_LAST[-1]
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":
