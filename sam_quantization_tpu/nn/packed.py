@@ -209,6 +209,7 @@ def quantize_rtn(
     """
     K, N = w.shape
     g = groupsize if groupsize > 0 else K
+    g = min(g, K)  # tiny layers: a group never exceeds the K axis
     maxq = (1 << bits) - 1
     wg = w.reshape(K // g, g, N).astype(jnp.float32)
     wmax = jnp.max(wg, axis=1)
