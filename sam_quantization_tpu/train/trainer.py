@@ -97,7 +97,10 @@ def click_train_loss(
     cfg = model.config
     B = images.shape[0]
     x = sam_lib.preprocess(model, images)
-    emb = sam_lib.encode_image(model, x)
+    # xla attention: the Pallas flash kernels have no reverse-mode rule, and
+    # training needs gradients through the encoder (flash stays the
+    # inference path)
+    emb = sam_lib.encode_image(model, x, attn_impl="xla")
 
     S = cfg.image_encoder.img_size
     h4 = S // 4
