@@ -189,6 +189,7 @@ def _packed_rel_and_flash(
     them. ``qkv``: (NW, kh*kw, 3*nh*hd) — the qkv linear's output, heads
     not split. Returns (NW, kh*kw, nh*hd), proj-ready.
     """
+    from sam_quantization_tpu.nn.packed import IntLinear
     from sam_quantization_tpu.ops import flash_attention
 
     NW = qkv.shape[0]
@@ -198,8 +199,17 @@ def _packed_rel_and_flash(
     rel_h = jnp.einsum("bhwnc,hkc->bnhwk", qg, Rh)
     rel_w = jnp.einsum("bhwnc,wkc->bnhwk", qg, Rw)
     rel = jnp.concatenate([rel_h, rel_w], -1).reshape(NW, nh, kh * kw, kh + kw)
+    # int8-pre proj: when proj serves from cached int8 weights with a static
+    # activation scale, the kernel's epilogue emits int8 at that scale —
+    # the standalone quantize pass between attention and proj disappears
+    # (int8-pre measured 1.37x bf16 vs static's 1.16x at the ViT-H proj
+    # shape, tools/microbench_a8.py round 3).
+    ois = None
+    proj = p.get("proj")
+    if isinstance(proj, IntLinear) and proj.in_scale is not None:
+        ois = 1.0 / proj.in_scale
     return flash_attention.flash_attention_qkv_packed(
-        qkv, rel, hd**-0.5, nh=nh, hd=hd, kh=kh, kw=kw
+        qkv, rel, hd**-0.5, nh=nh, hd=hd, kh=kh, kw=kw, out_inv_scale=ois
     )
 
 

@@ -118,8 +118,15 @@ def _attn_kernel(qa_ref, ka_ref, v_ref, o_ref, *, L, bw, exp2):
 
 
 def _attn_kernel_qkv_packed(
-    q_ref, k_ref, v_ref, rel_ref, o_ref, *, L, bw, nh, hd, kh, kw, scale, exp2
+    q_ref, k_ref, v_ref, rel_ref, *refs, L, bw, nh, hd, kh, kw, scale,
+    exp2, out_quant=False,
 ):
+    if out_quant:
+        ois_ref, o_ref = refs
+        out_inv_scale = ois_ref[0]
+    else:
+        (o_ref,) = refs
+        out_inv_scale = None
     """Windowed attention on head-packed q/k/v activations.
 
     q/k/v refs are (bw, Lp, nh*hd) slices of the qkv projection output —
@@ -134,7 +141,7 @@ def _attn_kernel_qkv_packed(
     row through the softmax), and OOB columns are masked to -inf.
     """
     Lp = q_ref.shape[1]
-    dt = o_ref.dtype
+    dt = q_ref.dtype  # compute dtype (o_ref may be int8 with out_inv_scale)
     # Batched-head dots are the default: stacking all nh heads into two
     # batched dot_generals + one whole-problem softmax beats the sequential
     # per-head loop by 8% of the ViT-H windowed STAGE (31.17 -> 28.70
@@ -172,7 +179,7 @@ def _attn_kernel_qkv_packed(
                 q = q_ref[b][:, h * hd : (h + 1) * hd]
                 k = k_ref[b][:, h * hd : (h + 1) * hd]
                 v = v_ref[b][:, h * hd : (h + 1) * hd]
-                qs = (q.astype(jnp.float32) * scale).astype(o_ref.dtype)
+                qs = (q.astype(jnp.float32) * scale).astype(dt)
                 if Lp > L:
                     k = jnp.where(rowmask, k, 0)
                     v = jnp.where(rowmask, v, 0)
@@ -197,7 +204,16 @@ def _attn_kernel_qkv_packed(
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # (nh, Lp, hd)
-            o = (o * r).astype(o_ref.dtype)
+            if out_quant:
+                # int8-out epilogue: the deferred-softmax normalize and the
+                # consumer's static activation quantize fuse into one VMEM
+                # multiply-round — attn.proj receives int8 directly
+                # (int8-pre, no standalone quantize pass in HBM)
+                o = jnp.clip(
+                    jnp.round(o * (r * out_inv_scale)), -127, 127
+                ).astype(o_ref.dtype)
+            else:
+                o = (o * r).astype(o_ref.dtype)
             for h in range(nh):
                 o_ref[b, :, h * hd : (h + 1) * hd] = o[h]
             continue
@@ -205,7 +221,7 @@ def _attn_kernel_qkv_packed(
             q = q_ref[b][:, h * hd : (h + 1) * hd]
             k = k_ref[b][:, h * hd : (h + 1) * hd]
             v = v_ref[b][:, h * hd : (h + 1) * hd]
-            qs = (q.astype(jnp.float32) * scale).astype(o_ref.dtype)
+            qs = (q.astype(jnp.float32) * scale).astype(dt)
             if Lp > L:
                 # zero OOB k/v rows (garbage there may be NaN, which the
                 # -1e9 mask lane cannot neutralize) and add the mask lane
@@ -226,17 +242,22 @@ def _attn_kernel_qkv_packed(
             # normalize after the p·v dot — divide (Lp, hd) not (Lp, Lp)
             r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
             o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-            o_ref[b, :, h * hd : (h + 1) * hd] = (o * r).astype(o_ref.dtype)
+            if out_quant:
+                o = jnp.clip(jnp.round(o * (r * out_inv_scale)), -127, 127)
+                o_ref[b, :, h * hd : (h + 1) * hd] = o.astype(o_ref.dtype)
+            else:
+                o_ref[b, :, h * hd : (h + 1) * hd] = (o * r).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nh", "hd", "L", "kh", "kw", "scale", "bw", "interpret", "exp2"
+        "nh", "hd", "L", "kh", "kw", "scale", "bw", "interpret", "exp2",
     ),
 )
 def _fused_attention_qkv_packed(
-    qkv, rel, *, nh, hd, L, kh, kw, scale, bw, interpret, exp2=False
+    qkv, rel, out_inv_scale=None, *, nh, hd, L, kh, kw, scale, bw,
+    interpret, exp2=False,
 ):
     NW = qkv.shape[0]
     CH = nh * hd
@@ -247,20 +268,33 @@ def _fused_attention_qkv_packed(
     # transpose); each is passed with a full-width block so the per-head
     # slicing happens on VMEM-resident data.
     qf, kf, vf = qkv[:, :, :CH], qkv[:, :, CH : 2 * CH], qkv[:, :, 2 * CH :]
+    out_quant = out_inv_scale is not None
+    in_specs = [
+        pl.BlockSpec((bw, Lp, CH), lambda i: (i, 0, 0)),
+        pl.BlockSpec((bw, Lp, CH), lambda i: (i, 0, 0)),
+        pl.BlockSpec((bw, Lp, CH), lambda i: (i, 0, 0)),
+        pl.BlockSpec((bw, nh, Lp, kh + kw), lambda i: (i, 0, 0, 0)),
+    ]
+    operands = [qf, kf, vf, rel]
+    if out_quant:
+        in_specs.append(
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM)
+        )
+        operands.append(
+            jnp.asarray(out_inv_scale, jnp.float32).reshape(1)
+        )
     return pl.pallas_call(
         functools.partial(
             _attn_kernel_qkv_packed,
             L=L, bw=bw, nh=nh, hd=hd, kh=kh, kw=kw, scale=scale, exp2=exp2,
+            out_quant=out_quant,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bw, Lp, CH), lambda i: (i, 0, 0)),
-            pl.BlockSpec((bw, Lp, CH), lambda i: (i, 0, 0)),
-            pl.BlockSpec((bw, Lp, CH), lambda i: (i, 0, 0)),
-            pl.BlockSpec((bw, nh, Lp, kh + kw), lambda i: (i, 0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bw, Lp, CH), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((NW, Lp, CH), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (NW, Lp, CH), jnp.int8 if out_quant else qkv.dtype
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
@@ -270,7 +304,7 @@ def _fused_attention_qkv_packed(
             transcendentals=NW * nh * Lp * Lp,
         ),
         interpret=interpret,
-    )(qf, kf, vf, rel)
+    )(*operands)
 
 
 def flash_attention_qkv_packed(
@@ -284,6 +318,7 @@ def flash_attention_qkv_packed(
     kw: int,
     interpret: bool = False,
     bw_override: Optional[int] = None,
+    out_inv_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Windowed flash attention on the packed qkv projection output.
 
@@ -291,8 +326,13 @@ def flash_attention_qkv_packed(
       qkv: (NW, L, 3*nh*hd) — the qkv linear's output, heads NOT split.
       rel: (NW, nh, L, kh + kw) concatenated rel-pos tiles, or None.
       scale: softmax scale for q.
+      out_inv_scale: when set (a static float, 1/act_scale of the consumer),
+        the kernel's epilogue quantizes the output to int8 — the consuming
+        IntLinear (attn.proj) then runs int8-PRE (no standalone activation
+        quantize pass between attention and proj).
 
-    Returns (NW, L, nh*hd) — proj-ready, no head transpose anywhere.
+    Returns (NW, L, nh*hd) — proj-ready, no head transpose anywhere
+    (int8 when ``out_inv_scale`` is set).
     """
     NW, L, _ = qkv.shape
     if rel is None:
@@ -318,8 +358,8 @@ def flash_attention_qkv_packed(
     if env_bw and NW % int(env_bw) == 0:
         bw = int(env_bw)
     out = _fused_attention_qkv_packed(
-        qkv, rel, nh=nh, hd=hd, L=L, kh=kh, kw=kw, scale=scale, bw=bw,
-        interpret=interpret, exp2=exp2,
+        qkv, rel, out_inv_scale, nh=nh, hd=hd, L=L, kh=kh, kw=kw,
+        scale=scale, bw=bw, interpret=interpret, exp2=exp2,
     )
     return out[:, :L, :]
 

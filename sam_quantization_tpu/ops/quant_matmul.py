@@ -125,7 +125,19 @@ def int8_matmul(x: jax.Array, p: IntLinear) -> jax.Array:
     With a calibrated ``in_scale`` the activation quantization is a static
     elementwise op (round/clip at a fixed scale) that XLA fuses into the
     producer — no per-token amax reduction, the cost that capped the dynamic
-    A8 path at 0.98x bf16 (BENCHMARKS.md r1)."""
+    A8 path at 0.98x bf16 (BENCHMARKS.md r1).
+
+    An int8 ``x`` is taken as ALREADY quantized at ``in_scale`` (int8-pre):
+    the flash attention kernel's int8-out epilogue feeds attn.proj this way
+    (ops/flash_attention.flash_attention_qkv_packed out_inv_scale)."""
+    if x.dtype == jnp.int8:
+        assert p.in_scale is not None, "pre-quantized input needs in_scale"
+        acc = jax.lax.dot_general(
+            x, p.w8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        G = p.scales.shape[0]
+        assert G == 1, "int8-pre path is per-channel (single group)"
+        return (acc * (p.scales[0] * p.in_scale)[None, :]).astype(jnp.bfloat16)
     if p.in_scale is not None:
         # Multiply by the reciprocal instead of dividing: the divide runs
         # per element inside the hot loop while 1/scale is loop-invariant

@@ -259,3 +259,50 @@ def test_hoisted_windowed_block_matches_partition_first(
     np.testing.assert_allclose(
         np.asarray(out_hoisted), np.asarray(out_ref), atol=3e-3
     )
+
+
+def test_flash_int8_out_epilogue_feeds_proj():
+    """Serving int8-pre proj: the packed kernel's int8-out epilogue
+    (out_inv_scale) + IntLinear's pre-quantized input path must match the
+    bf16-out + standalone-quantize route to within one int8 step."""
+    from sam_quantization_tpu.models import image_encoder as ie
+    from sam_quantization_tpu.models.configs import VIT_TINY
+    from sam_quantization_tpu.nn.packed import IntLinear, cache_int8
+    from sam_quantization_tpu.quant import gptq, sequential
+    import sam_quantization_tpu.ops.flash_attention as fa
+
+    cfg = VIT_TINY.image_encoder
+    key = jax.random.PRNGKey(0)
+    p = ie.init_block(key, cfg, 0)
+    qp = sequential.rtn_quantize_encoder(
+        {"blocks": [p]}, gptq.GPTQConfig(bits=8, groupsize=0, sym=True)
+    )["blocks"][0]
+    scales = {"attn.qkv": 8.0, "attn.proj": 8.0, "mlp.lin1": 8.0,
+              "mlp.lin2": 8.0}
+    served = cache_int8(qp, act_scales=scales, skip=None)
+    assert isinstance(served["attn"]["proj"], IntLinear)
+    assert served["attn"]["proj"].in_scale is not None
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 5, cfg.embed_dim))
+    orig_packed = fa._fused_attention_qkv_packed
+    try:
+        fa._fused_attention_qkv_packed = lambda *a, **kw: orig_packed(
+            *a, **{**kw, "interpret": True}
+        )
+        out_pre = ie.attention(served["attn"], x, cfg, attn_impl="flash")
+    finally:
+        fa._fused_attention_qkv_packed = orig_packed
+    # reference: same weights, bf16-out + IntLinear's own static quantize
+    import dataclasses
+
+    served_ref = dict(served)
+    served_ref["attn"] = dict(served["attn"])
+    out_ref = ie.attention(served["attn"], x, cfg, attn_impl="xla")
+    # both quantize proj's input at the same static scale; the only delta is
+    # rounding order (f32-round in kernel vs bf16-cast-then-round)
+    d = np.abs(np.asarray(out_pre, np.float32) - np.asarray(out_ref, np.float32))
+    assert d.max() < 0.15, d.max()
+    a = np.asarray(out_pre, np.float32).ravel()
+    b = np.asarray(out_ref, np.float32).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.999

@@ -37,6 +37,8 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--pool", type=int, default=512,
+                   help="training-scene pool size (bigger = less memorization)")
     return p.parse_args(argv)
 
 
@@ -75,7 +77,7 @@ def main(argv=None):
     # data: a fixed pool of training scenes (seeded), held-out eval scenes
     # from a disjoint seed
     pool = [
-        (img[0], gt) for img, gt in synthetic_samples(512, size, seed=args.seed + 1)
+        (img[0], gt) for img, gt in synthetic_samples(args.pool, size, seed=args.seed + 1)
     ]
     eval_samples = [
         (img, gt)
