@@ -60,7 +60,12 @@ def main(argv=None):
                 from sam_quantization_tpu.nn.packed import cache_int8
 
                 scales = qcfg.get("act_scales")
-                enc = cache_int8(enc, act_scales=scales)
+                # per-op routing is measurement-driven per model width:
+                # the small square attn.proj loses in int8 at ViT-B/tiny
+                # (0.82x) but wins at the 1280-wide ViT-L/H (1.16-1.37x,
+                # tools/microbench_a8.py + matched A/B, BENCHMARKS.md r3)
+                skip = () if args.model in ("vit_l", "vit_h") else ("attn.proj",)
+                enc = cache_int8(enc, act_scales=scales, skip=skip)
                 model = sam_lib.Sam(
                     image_encoder=enc,
                     prompt_encoder=model.prompt_encoder,
