@@ -272,6 +272,10 @@ def main():
                     help="with --a8-cached: keep mlp lin1/lin2 as packed "
                          "int4 so the fused Pallas MLP handles them "
                          "(hidden acts stay in VMEM) instead of IntLinear")
+    ap.add_argument("--int8-layout", default="kn", choices=["kn", "nk"],
+                    help="IntLinear weight layout: nk stores (N, K) with a "
+                         "minor contraction dim — measured faster at every "
+                         "ViT-H shape (microbench_a8 int8-preT)")
     ap.add_argument("--skip-fp", type=float, default=0.0,
                     help="skip the bf16 pass and use this img/s as the "
                          "baseline (kernel-iteration A/B runs; the driver's "
@@ -371,6 +375,7 @@ def main():
         qparams = cache_int8(
             qparams, act_scales=act_scales, skip=skip,
             keep_packed=("mlp.",) if args.keep_packed_mlp else (),
+            transpose=(args.int8_layout == "nk"),
         )
     elif args.a8:
         from sam_quantization_tpu.nn.packed import with_act_bits

@@ -344,6 +344,7 @@ def attention(
     # 0.63 vs 0.73 ms/block bf16 and 0.96 vs 1.52 int4 at ViT-B shapes
     # (tools/block_anatomy.py). use_flash computed above the packed branch.
     if use_flash:
+        from sam_quantization_tpu.nn.packed import IntLinear
         from sam_quantization_tpu.ops import flash_attention
 
         rel_h, rel_w = (None, None)
@@ -351,6 +352,15 @@ def attention(
             rel_h, rel_w = decomposed_rel_pos_tiles(
                 q2, p["rel_pos_h"], p["rel_pos_w"], (H, W), (H, W)
             )
+        # int8-pre proj at the global shape too: the bias3d kernel's
+        # epilogue emits proj-ready int8 (same fusion as the packed
+        # windowed kernel); the head-merge transpose below then moves 1
+        # byte/elem instead of 2. Fallback dispatch paths ignore the scale
+        # and return bf16 — IntLinear accepts both.
+        ois = None
+        proj = p.get("proj")
+        if isinstance(proj, IntLinear) and proj.in_scale is not None:
+            ois = 1.0 / proj.in_scale
         out = flash_attention.flash_attention_relpos(
             q.reshape(B, nh, L, hd),
             k.reshape(B, nh, L, hd),
@@ -358,6 +368,7 @@ def attention(
             rel_h.reshape(B, nh, L, H) if rel_h is not None else None,
             rel_w.reshape(B, nh, L, W) if rel_w is not None else None,
             scale=hd**-0.5,
+            out_inv_scale=ois,
         )
         x = out.reshape(B, nh, H, W, hd).transpose(0, 2, 3, 1, 4).reshape(B, H, W, C)
     else:

@@ -242,7 +242,7 @@ class IntLinear:
     (4×) against MXU rate (1.5×) — see BENCHMARKS.md.
     """
 
-    w8: jax.Array  # int8 (K, N), symmetric grid (zero removed)
+    w8: jax.Array  # int8, symmetric grid (zero removed); (K, N) or (N, K) per `layout`
     scales: jax.Array  # f32 (G, N)
     bias: Optional[jax.Array]
     # Static (calibrated) activation scale: when set, activations quantize
@@ -252,14 +252,21 @@ class IntLinear:
     # findings). None = dynamic per-token quantization.
     in_scale: Optional[jax.Array] = None
     groupsize: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # Physical weight layout: "kn" stores (K, N); "nk" stores the transpose
+    # (N, K) and contracts x's K against w8's LAST dim. The nk layout keeps
+    # the int8 contraction dim minor in memory — measured faster at every
+    # ViT-H serving shape (qkv 1.71x vs 1.58x bf16, lin2 1.74x vs 1.73x,
+    # 4096^3 1.61x vs 1.55x; tools/microbench_a8.py int8-preT, round 3).
+    # Only the per-channel (G==1) serving grid supports it.
+    layout: str = dataclasses.field(metadata=dict(static=True), default="kn")
 
     @property
     def in_features(self) -> int:
-        return self.w8.shape[0]
+        return self.w8.shape[1] if self.layout == "nk" else self.w8.shape[0]
 
     @property
     def out_features(self) -> int:
-        return self.w8.shape[1]
+        return self.w8.shape[0] if self.layout == "nk" else self.w8.shape[1]
 
     @property
     def num_groups(self) -> int:
@@ -272,6 +279,7 @@ def cache_int8(
     per_channel: bool = True,
     skip: Optional[Iterable[str]] = ("attn.proj",),
     keep_packed: Iterable[str] = (),
+    transpose: bool = False,
 ):
     """Convert every *symmetric* PackedLinear in a pytree to IntLinear
     (pre-unpacked int8 weights for the native int8-MXU serving mode).
@@ -301,6 +309,11 @@ def cache_int8(
     but LOSES inside the full scanned block stage (56.2 vs 50.1 ms/img
     windowed — XLA overlaps the IntLinear int8 dots with the surrounding
     ops better than it can around an opaque pallas_call). Default off.
+
+    ``transpose``: store per-channel int8 weights in the ``nk`` layout
+    ((N, K), contraction dim minor) — the measured-faster int8 dot layout
+    (IntLinear.layout docstring). Per-channel conversions only; grouped
+    fallbacks stay ``kn``.
     """
     from sam_quantization_tpu.nn import packed as _p
 
@@ -334,10 +347,17 @@ def cache_int8(
                     .astype(jnp.int8)
                 )
                 return IntLinear(
-                    w8=w8, scales=s_col[None, :].astype(jnp.float32),
+                    w8=w8.T if transpose else w8,
+                    scales=s_col[None, :].astype(jnp.float32),
                     bias=node.bias, in_scale=in_scale, groupsize=0,
+                    layout="nk" if transpose else "kn",
                 )
             w8 = (_p.unpack_to_int(node) - mid).astype(jnp.int8)
+            if transpose and node.scales.shape[0] == 1:
+                return IntLinear(
+                    w8=w8.T, scales=node.scales, bias=node.bias,
+                    in_scale=in_scale, groupsize=node.groupsize, layout="nk",
+                )
             return IntLinear(
                 w8=w8, scales=node.scales, bias=node.bias,
                 in_scale=in_scale, groupsize=node.groupsize,

@@ -365,8 +365,15 @@ def flash_attention_qkv_packed(
 
 
 def _attn_kernel_rowblock_bias3d(
-    q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, kh, kw, exp2
+    q_ref, k_ref, v_ref, rh_ref, rw_ref, *refs, kh, kw, exp2,
+    out_quant=False,
 ):
+    if out_quant:
+        ois_ref, o_ref = refs
+        out_inv_scale = ois_ref[0]
+    else:
+        (o_ref,) = refs
+        out_inv_scale = None
     """Row-block global attention with the bias as a VPU broadcast add.
 
     The augmented contraction (module docstring, idea 2) is free for the
@@ -407,33 +414,51 @@ def _attn_kernel_rowblock_bias3d(
     o = jnp.dot(
         p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
     )
-    o_ref[0] = (o * r).astype(o_ref.dtype)
+    if out_quant:
+        # int8-out epilogue (same fusion as _attn_kernel_qkv_packed): the
+        # deferred-softmax normalize and the consumer's static activation
+        # quantize are one VMEM multiply-round — attn.proj gets int8-pre.
+        o_ref[0] = jnp.clip(
+            jnp.round(o * (r * out_inv_scale)), -127, 127
+        ).astype(o_ref.dtype)
+    else:
+        o_ref[0] = (o * r).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit, static_argnames=("kh", "kw", "block_q", "interpret", "exp2")
 )
 def _fused_attention_bias3d(
-    qs, ks, v, rh, rw, *, kh, kw, block_q, interpret, exp2=False
+    qs, ks, v, rh, rw, out_inv_scale=None, *, kh, kw, block_q, interpret,
+    exp2=False,
 ):
     BH, L, Dp = qs.shape
     flops = 2 * BH * L * L * 2 * Dp
     grid = (BH, L // block_q)
     Db = rh.shape[2]
+    out_quant = out_inv_scale is not None
+    in_specs = [
+        pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, L, Dp), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, L, Dp), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, block_q, Db), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, block_q, Db), lambda b, i: (b, i, 0)),
+    ]
+    operands = [qs, ks, v, rh, rw]
+    if out_quant:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM))
+        operands.append(jnp.asarray(out_inv_scale, jnp.float32).reshape(1))
     return pl.pallas_call(
         functools.partial(
-            _attn_kernel_rowblock_bias3d, kh=kh, kw=kw, exp2=exp2
+            _attn_kernel_rowblock_bias3d, kh=kh, kw=kw, exp2=exp2,
+            out_quant=out_quant,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, L, Dp), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, L, Dp), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, block_q, Db), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q, Db), lambda b, i: (b, i, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((BH, L, Dp), qs.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (BH, L, Dp), jnp.int8 if out_quant else qs.dtype
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
@@ -443,7 +468,7 @@ def _fused_attention_bias3d(
             transcendentals=BH * L * L,
         ),
         interpret=interpret,
-    )(qs, ks, v, rh, rw)
+    )(*operands)
 
 
 def _attn_kernel_rowblock(qa_ref, ka_ref, v_ref, o_ref, *, L, exp2):
@@ -542,6 +567,7 @@ def flash_attention_relpos(
     bw_override: Optional[int] = None,
     block_q_override: Optional[int] = None,
     bias3d: Optional[bool] = None,
+    out_inv_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Self-attention with decomposed rel-pos bias.
 
@@ -551,8 +577,12 @@ def flash_attention_relpos(
       rel_w: (B, nh, L, kw) bias tile or None.
       scale: softmax scale applied to logits.
       kv_size: (kh, kw) with kh * kw == L; inferred from rel tiles if given.
+      out_inv_scale: 1/act_scale of an int8-pre consumer. Honored by the
+        bias3d (global) kernel, which then returns int8; other dispatch
+        paths ignore it and return the input dtype — callers must accept
+        either (IntLinear handles both).
 
-    Returns (B, nh, L, hd).
+    Returns (B, nh, L, hd) — int8 iff the epilogue was applied.
     """
     B, nh, L, hd = q.shape
     if rel_h is not None:
@@ -606,6 +636,7 @@ def flash_attention_relpos(
         out = _fused_attention_bias3d(
             qs, ks, v.reshape(BH, L, hd),
             rel_h.reshape(BH, L, kh), rel_w.reshape(BH, L, kw),
+            out_inv_scale,
             kh=kh, kw=kw, block_q=block_q, interpret=interpret, exp2=exp2,
         )
         return out.reshape(B, nh, L, hd)

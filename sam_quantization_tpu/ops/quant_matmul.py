@@ -130,10 +130,14 @@ def int8_matmul(x: jax.Array, p: IntLinear) -> jax.Array:
     An int8 ``x`` is taken as ALREADY quantized at ``in_scale`` (int8-pre):
     the flash attention kernel's int8-out epilogue feeds attn.proj this way
     (ops/flash_attention.flash_attention_qkv_packed out_inv_scale)."""
+    # nk layout: w8 is (N, K); contract x's K against w8's LAST dim. Same
+    # math, physically-minor contraction dim — the measured-faster int8 dot
+    # (IntLinear.layout).
+    wdims = ((1,), (1,)) if p.layout == "nk" else ((1,), (0,))
     if x.dtype == jnp.int8:
         assert p.in_scale is not None, "pre-quantized input needs in_scale"
         acc = jax.lax.dot_general(
-            x, p.w8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            x, p.w8, (wdims, ((), ())), preferred_element_type=jnp.int32
         ).astype(jnp.float32)
         G = p.scales.shape[0]
         assert G == 1, "int8-pre path is per-channel (single group)"
@@ -148,11 +152,11 @@ def int8_matmul(x: jax.Array, p: IntLinear) -> jax.Array:
         xs = p.in_scale
     else:
         xq, xs = quantize_activations_int8(x)
-    K, N = p.w8.shape
+    K, N = p.in_features, p.out_features
     G = p.scales.shape[0]
     if G == 1:
         acc = jax.lax.dot_general(
-            xq, p.w8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            xq, p.w8, (wdims, ((), ())), preferred_element_type=jnp.int32
         ).astype(jnp.float32)
         if p.in_scale is not None:
             # Fold the static activation scale into the per-column dequant
@@ -160,6 +164,7 @@ def int8_matmul(x: jax.Array, p: IntLinear) -> jax.Array:
             return (acc * (p.scales[0] * xs)[None, :]).astype(x.dtype)
         y = acc * p.scales[0][None, :]
     else:
+        assert p.layout == "kn", "grouped int8 path requires the kn layout"
         g = K // G
         acc = jax.lax.dot_general(
             xq.reshape(-1, G, g),

@@ -102,7 +102,7 @@ def tp_pack_qkv(encoder_params: dict, num_heads: int, tp: int) -> dict:
         if isinstance(p, IntLinear):
             return dataclasses.replace(
                 p,
-                w8=p.w8[:, idx],
+                w8=p.w8[idx, :] if p.layout == "nk" else p.w8[:, idx],
                 scales=p.scales[:, idx],
                 bias=None if p.bias is None else p.bias[idx],
                 in_scale=p.in_scale,
@@ -165,12 +165,16 @@ def make_mesh(
 def _linear_spec(p, out_axis: Optional[str], in_axis: Optional[str]):
     """PartitionSpec tree for a linear param (dict, PackedLinear, IntLinear)."""
     if isinstance(p, IntLinear):
+        w8_spec = (
+            P(out_axis, in_axis) if p.layout == "nk" else P(in_axis, out_axis)
+        )
         return IntLinear(
-            w8=P(in_axis, out_axis),
+            w8=w8_spec,
             scales=P(None, out_axis),
             bias=None if p.bias is None else P(out_axis),
             in_scale=None if p.in_scale is None else P(),
             groupsize=p.groupsize,
+            layout=p.layout,
         )
     if isinstance(p, PackedLinear):
         return PackedLinear(

@@ -59,6 +59,28 @@ def test_flash_bias3d_variant():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
 
+def test_flash_bias3d_int8_out_epilogue():
+    """The global (bias3d) kernel's int8-out epilogue: emitted int8 at
+    1/out_inv_scale must equal quantizing the bf16 output at that scale."""
+    q, k, v, rel_h, rel_w = _mk(7, 1, 2, 1024, 64, 32, 32)
+    ref = np.asarray(
+        flash_attention_relpos(
+            q, k, v, rel_h, rel_w, 0.125, interpret=True, bias3d=True
+        ),
+        np.float32,
+    )
+    scale = float(np.abs(ref).max()) / 127.0
+    out8 = flash_attention_relpos(
+        q, k, v, rel_h, rel_w, 0.125, interpret=True, bias3d=True,
+        out_inv_scale=jnp.float32(1.0 / scale),
+    )
+    assert out8.dtype == jnp.int8
+    want = np.clip(np.round(ref / scale), -127, 127)
+    np.testing.assert_allclose(np.asarray(out8, np.float32), want, atol=1.0)
+    # near-exact up to f32-vs-interpret rounding on .5 boundaries
+    assert (np.asarray(out8, np.float32) != want).mean() < 5e-3
+
+
 @pytest.mark.parametrize("bw,block_q", [(2, None), (6, None), (None, 128)])
 def test_flash_dispatch_overrides(bw, block_q):
     """bw/block_q overrides (tools/flash_sweep.py knobs) keep exact parity

@@ -218,6 +218,60 @@ def test_int_linear_static_act_scale(rng):
     assert cos > 0.99, cos
 
 
+def test_int_linear_nk_layout(rng):
+    """transpose=True stores (N, K) weights (layout='nk') — the faster
+    measured int8 dot layout — with results identical to 'kn' across the
+    dynamic, static-scale, and int8-pre input modes, and with tp column
+    slicing still exact."""
+    import dataclasses
+    from sam_quantization_tpu.nn import functional as F
+    from sam_quantization_tpu.nn.packed import IntLinear, cache_int8
+    from sam_quantization_tpu.ops import quant_matmul
+
+    K, N, M = 256, 128, 16
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    p = packed.quantize_rtn(jnp.asarray(w), bits=4, groupsize=64, sym=True)
+    amax = float(jnp.max(jnp.abs(x)))
+    for scales in (None, {"lin": amax}):
+        t_kn = cache_int8({"lin": p}, act_scales=scales)
+        t_nk = cache_int8({"lin": p}, act_scales=scales, transpose=True)
+        assert t_nk["lin"].layout == "nk"
+        assert t_nk["lin"].w8.shape == (N, K)
+        assert t_nk["lin"].in_features == K
+        assert t_nk["lin"].out_features == N
+        np.testing.assert_array_equal(
+            np.asarray(t_nk["lin"].w8).T, np.asarray(t_kn["lin"].w8)
+        )
+        got = np.asarray(F.linear(t_nk["lin"], x))
+        want = np.asarray(F.linear(t_kn["lin"], x))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # int8-pre input (the flash int8-out epilogue's hand-off)
+    lin_nk = cache_int8({"lin": p}, act_scales={"lin": amax},
+                        transpose=True)["lin"]
+    lin_kn = cache_int8({"lin": p}, act_scales={"lin": amax})["lin"]
+    xq = jnp.clip(
+        jnp.round(x / lin_kn.in_scale), -127, 127
+    ).astype(jnp.int8)
+    np.testing.assert_allclose(
+        np.asarray(quant_matmul.int8_matmul(xq, lin_nk)),
+        np.asarray(quant_matmul.int8_matmul(xq, lin_kn)),
+        rtol=1e-5, atol=1e-5,
+    )
+    # tp output-column slice (parallel.mesh.tp_pack_qkv permute path)
+    idx = np.arange(N)[::-1].copy()
+    sliced = dataclasses.replace(
+        lin_nk,
+        w8=lin_nk.w8[jnp.asarray(idx), :],
+        scales=lin_nk.scales[:, jnp.asarray(idx)],
+    )
+    np.testing.assert_allclose(
+        np.asarray(F.linear(sliced, x)),
+        np.asarray(F.linear(lin_kn, x))[:, idx],
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_int_linear_per_channel_requant(rng):
     """Grouped weights requantize to ONE per-column int8 grid (single MXU
     dot, no (G, M, N) accumulator) with error far below the int4 grid's."""
