@@ -63,7 +63,12 @@ def write_masks_to_folder(masks, path: str):
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    from sam_quantization_tpu.cli import add_platform_arg, apply_platform
+
+    p = build_parser()
+    add_platform_arg(p)
+    args = p.parse_args(argv)
+    apply_platform(args)
     import numpy as np
 
     from sam_quantization_tpu.automatic_mask_generator import SamAutomaticMaskGenerator

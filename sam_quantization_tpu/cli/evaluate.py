@@ -31,7 +31,11 @@ def main(argv=None):
     p.add_argument("--crops", default=None, metavar="HxW",
                    help="tiled-crop TTA, e.g. 320x480 (ref eval-mode "
                         "'fixed<crop>', scripts/evaluate_model.py)")
+    from sam_quantization_tpu.cli import add_platform_arg, apply_platform
+
+    add_platform_arg(p)
     args = p.parse_args(argv)
+    apply_platform(args)
 
     from sam_quantization_tpu.data.datasets import (
         ImageMaskDataset, SBDDataset, preprocess_for_eval,

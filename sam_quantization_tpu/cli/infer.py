@@ -32,7 +32,11 @@ def main(argv=None):
     p.add_argument("--num-samples", type=int, default=20)
     p.add_argument("--sbd-dir", default=None)
     p.add_argument("--seed", type=int, default=42)
+    from sam_quantization_tpu.cli import add_platform_arg, apply_platform
+
+    add_platform_arg(p)
     args = p.parse_args(argv)
+    apply_platform(args)
 
     import jax
     import jax.numpy as jnp

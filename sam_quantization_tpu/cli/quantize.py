@@ -91,7 +91,12 @@ def iter_calib_images(args, img_size: int):
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    from sam_quantization_tpu.cli import add_platform_arg, apply_platform
+
+    p = build_parser()
+    add_platform_arg(p)
+    args = p.parse_args(argv)
+    apply_platform(args)
     import jax
 
     from sam_quantization_tpu.models import build_sam, sam as sam_lib

@@ -27,7 +27,11 @@ def main(argv=None):
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--sbd-dir", default=None)
     p.add_argument("--seed", type=int, default=0)
+    from sam_quantization_tpu.cli import add_platform_arg, apply_platform
+
+    add_platform_arg(p)
     args = p.parse_args(argv)
+    apply_platform(args)
 
     import jax
     import jax.numpy as jnp

@@ -234,8 +234,8 @@ def test_int_linear_nk_layout(rng):
     p = packed.quantize_rtn(jnp.asarray(w), bits=4, groupsize=64, sym=True)
     amax = float(jnp.max(jnp.abs(x)))
     for scales in (None, {"lin": amax}):
-        t_kn = cache_int8({"lin": p}, act_scales=scales)
-        t_nk = cache_int8({"lin": p}, act_scales=scales, transpose=True)
+        t_kn = cache_int8({"lin": p}, act_scales=scales, transpose=False)
+        t_nk = cache_int8({"lin": p}, act_scales=scales)  # nk is the default
         assert t_nk["lin"].layout == "nk"
         assert t_nk["lin"].w8.shape == (N, K)
         assert t_nk["lin"].in_features == K
@@ -288,9 +288,10 @@ def test_int_linear_per_channel_requant(rng):
     assert t_gr["lin"].scales.shape == (K // 32, N)
     # requantized weights vs the exact dequantized int4 weights: < 1% rel
     w_exact = np.asarray(dequantize(p, jnp.float32))
-    w_pc = np.asarray(t_pc["lin"].w8, np.float32) * np.asarray(
-        t_pc["lin"].scales
-    )
+    w8_kn = np.asarray(t_pc["lin"].w8, np.float32)
+    if t_pc["lin"].layout == "nk":  # serving default stores (N, K)
+        w8_kn = w8_kn.T
+    w_pc = w8_kn * np.asarray(t_pc["lin"].scales)
     rel = np.abs(w_pc - w_exact).max() / np.abs(w_exact).max()
     assert rel < 0.01, rel
     got = np.asarray(F.linear(t_pc["lin"], x))

@@ -259,6 +259,9 @@ def test_tp_pack_qkv_quantized_trees(rng):
 
     cached = cache_int8(qp, skip=None)
     packed8 = mesh_lib.tp_pack_qkv(cached, ecfg.num_heads, 2)
-    w8 = np.asarray(cached["blocks"][0]["attn"]["qkv"].w8)
+    lin8 = cached["blocks"][0]["attn"]["qkv"]
+    w8 = np.asarray(lin8.w8)
     got8 = np.asarray(packed8["blocks"][0]["attn"]["qkv"].w8)
-    np.testing.assert_array_equal(got8, w8[:, idx])
+    # serving default is the nk layout: output columns live on axis 0
+    want8 = w8[idx, :] if lin8.layout == "nk" else w8[:, idx]
+    np.testing.assert_array_equal(got8, want8)

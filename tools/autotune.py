@@ -23,15 +23,19 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="vit_h")
-    ap.add_argument("--m", type=int, default=4096)
-    ap.add_argument("--bits", type=int, default=4)
+    ap.add_argument("--m", type=int, nargs="+", default=[4096],
+                    help="M values to tune (ViT-H runs 4900 windowed-padded "
+                         "and 4096 global)")
+    ap.add_argument("--bits", type=int, nargs="+", default=[4])
     ap.add_argument("--groupsize", type=int, default=128)
     args = ap.parse_args()
     from sam_quantization_tpu.ops import autotune
 
-    table = autotune.tune_model_shapes(
-        args.model, M=args.m, bits=args.bits, groupsize=args.groupsize
-    )
+    for m in args.m:
+        for bits in args.bits:
+            table = autotune.tune_model_shapes(
+                args.model, M=m, bits=bits, groupsize=args.groupsize
+            )
     print(f"saved {len(table)} entries")
 
 
