@@ -351,6 +351,13 @@ def flash_attention_qkv_packed(
     # heads ride in each block); 10 MB budget leaves room for pipelining.
     per_io = Lp * (4 * nh * hd + nh * (kh + kw)) * qkv.dtype.itemsize
     bw_max = max(1, min(64, (10 << 20) // per_io))
+    if NW > 64:
+        # Multi-image batches (NW = 25*B at ViT-H): bw=2 at NW=100 exceeded
+        # Mosaic's 16 MB scoped-vmem limit by 2 MB (measured, batch-4 bench)
+        # while the identical per-program shapes compile fine at NW=25 —
+        # the scoped accounting grows with the grid, not only the block.
+        # Pin the measured-safe bw; SAMQ_PACKED_BW/bw_override still apply.
+        bw_max = 1
     bw = max(d for d in range(1, bw_max + 1) if NW % d == 0)
     if bw_override is not None and NW % bw_override == 0:
         bw = bw_override
