@@ -272,10 +272,11 @@ def main():
                     help="with --a8-cached: keep mlp lin1/lin2 as packed "
                          "int4 so the fused Pallas MLP handles them "
                          "(hidden acts stay in VMEM) instead of IntLinear")
-    ap.add_argument("--int8-layout", default="kn", choices=["kn", "nk"],
-                    help="IntLinear weight layout: nk stores (N, K) with a "
-                         "minor contraction dim — measured faster at every "
-                         "ViT-H shape (microbench_a8 int8-preT)")
+    ap.add_argument("--int8-layout", default="nk", choices=["kn", "nk"],
+                    help="IntLinear weight layout (default nk, the serving "
+                         "default: (N, K), contraction dim minor — matched "
+                         "A/B 27.04 -> 28.22 img/s at ViT-H; kn opts back "
+                         "into the row-major layout)")
     ap.add_argument("--skip-fp", type=float, default=0.0,
                     help="skip the bf16 pass and use this img/s as the "
                          "baseline (kernel-iteration A/B runs; the driver's "

@@ -133,6 +133,7 @@ def _call_with_blocks(x, p, bm, bn, bk):
     zeros = zeros.reshape(num_k, gpb, N)
     out = qm._qmm_call(
         x, p.qweight, scales, zeros,
+        p.qweight_hi,  # bits=3 split-plane high bit (None otherwise)
         bits=p.bits, groupsize=min(p.groupsize, bk), pack_block=p.pack_block,
         block_m=bm, block_n=bn, block_k=bk, interpret=qm.INTERPRET,
     )
