@@ -219,7 +219,7 @@ def main():
         # beats bf16 (BENCHMARKS.md round 2). --segments keeps every program
         # small enough for the axon remote-compile helper.
         sys.argv += ["--model", "vit_h", "--segments", "--a8-cached",
-                     "--static-act"]
+                     "--static-act", "--quant-passes", "3"]
         print("[bench] no args: headline ViT-H int8-serving config",
               file=sys.stderr, flush=True)
     ap = argparse.ArgumentParser()
@@ -277,11 +277,23 @@ def main():
                          "default: (N, K), contraction dim minor — matched "
                          "A/B 27.04 -> 28.22 img/s at ViT-H; kn opts back "
                          "into the row-major layout)")
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                    help="pin the jax backend in-process (env vars are "
+                         "ignored — jax is pre-imported on the remote-TPU "
+                         "backend); cpu = smoke the bench mechanics without "
+                         "touching the chip")
+    ap.add_argument("--quant-passes", type=int, default=1,
+                    help="with --segments: re-time the quantized pass N "
+                         "times (same compiled programs) and record every "
+                         "value — the matched-pair spread lands in the "
+                         "JSON instead of only in BENCHMARKS.md prose")
     ap.add_argument("--skip-fp", type=float, default=0.0,
                     help="skip the bf16 pass and use this img/s as the "
                          "baseline (kernel-iteration A/B runs; the driver's "
                          "bare run always measures both)")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from sam_quantization_tpu.models import image_encoder
     from sam_quantization_tpu.models.configs import CONFIGS
@@ -398,6 +410,16 @@ def main():
     else:
         q_fn = jax.jit(lambda x: image_encoder.apply(qparams, x, ecfg))
         q_ips = _throughput(q_fn, x, args.iters, args.warmup)
+    q_runs = [q_ips]
+    if args.segments and args.quant_passes > 1:
+        # re-time the same compiled programs: the spread across passes IS
+        # the tunnel's run-to-run band, recorded in the JSON (VERDICT r2
+        # weak #7) rather than only in BENCHMARKS.md prose
+        for _ in range(args.quant_passes - 1):
+            q_runs.append(_segments_throughput(
+                qparams, x, ecfg, "auto", args.reps, args.seg_reps
+            ))
+        q_ips = sum(q_runs) / len(q_runs)
     tag = f"int{args.bits}" + (
         ("_a8static" if args.static_act else "_a8cached") if args.a8_cached
         else "_a8" if args.a8 else ""
@@ -417,6 +439,14 @@ def main():
                              "±5-7% — same-run vs_baseline is the honest "
                              "comparator (BENCHMARKS.md honesty box)",
     }
+    if len(q_runs) > 1:
+        record["quant_img_s_runs"] = [round(v, 4) for v in q_runs]
+        record["quant_img_s_spread"] = round(max(q_runs) - min(q_runs), 4)
+        record["run_variance_note"] = (
+            f"value is the mean of {len(q_runs)} re-timed passes of the "
+            "same compiled programs (quant_img_s_runs); the bf16 arm is a "
+            "single same-run pass"
+        )
     if _SEGMENTS_LAST:
         if not args.skip_fp and len(_SEGMENTS_LAST) > 1:
             record["bf16_segments_ms"] = _SEGMENTS_LAST[0]
