@@ -277,11 +277,9 @@ def main():
                          "default: (N, K), contraction dim minor — matched "
                          "A/B 27.04 -> 28.22 img/s at ViT-H; kn opts back "
                          "into the row-major layout)")
-    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
-                    help="pin the jax backend in-process (env vars are "
-                         "ignored — jax is pre-imported on the remote-TPU "
-                         "backend); cpu = smoke the bench mechanics without "
-                         "touching the chip")
+    from sam_quantization_tpu.cli import add_platform_arg
+
+    add_platform_arg(ap)
     ap.add_argument("--quant-passes", type=int, default=1,
                     help="with --segments: re-time the quantized pass N "
                          "times (same compiled programs) and record every "
@@ -292,8 +290,9 @@ def main():
                          "baseline (kernel-iteration A/B runs; the driver's "
                          "bare run always measures both)")
     args = ap.parse_args()
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    from sam_quantization_tpu.cli import apply_platform
+
+    apply_platform(args)
 
     from sam_quantization_tpu.models import image_encoder
     from sam_quantization_tpu.models.configs import CONFIGS
@@ -442,15 +441,29 @@ def main():
     if len(q_runs) > 1:
         record["quant_img_s_runs"] = [round(v, 4) for v in q_runs]
         record["quant_img_s_spread"] = round(max(q_runs) - min(q_runs), 4)
+        bf16_arm = (
+            "the bf16 baseline was injected via --skip-fp (no bf16 pass "
+            "this run)" if args.skip_fp
+            else "the bf16 arm is a single same-run pass"
+        )
         record["run_variance_note"] = (
             f"value is the mean of {len(q_runs)} re-timed passes of the "
-            "same compiled programs (quant_img_s_runs); the bf16 arm is a "
-            "single same-run pass"
+            f"same compiled programs (quant_img_s_runs); {bf16_arm}"
         )
     if _SEGMENTS_LAST:
+        quant_segs = _SEGMENTS_LAST[0 if args.skip_fp else 1:]
         if not args.skip_fp and len(_SEGMENTS_LAST) > 1:
             record["bf16_segments_ms"] = _SEGMENTS_LAST[0]
-        record["quant_segments_ms"] = _SEGMENTS_LAST[-1]
+        if len(quant_segs) > 1:
+            # per-stage MEAN across the re-timed passes, consistent with
+            # `value`; the raw per-pass breakdowns ride alongside
+            record["quant_segments_ms"] = {
+                k: round(sum(s[k] for s in quant_segs) / len(quant_segs), 3)
+                for k in quant_segs[0]
+            }
+            record["quant_segments_ms_runs"] = quant_segs
+        elif quant_segs:
+            record["quant_segments_ms"] = quant_segs[-1]
     print(json.dumps(record), flush=True)
 
 

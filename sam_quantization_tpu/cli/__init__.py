@@ -13,7 +13,7 @@ from __future__ import annotations
 
 def add_platform_arg(parser) -> None:
     parser.add_argument(
-        "--platform", default=None, choices=[None, "cpu", "tpu"],
+        "--platform", default=None, choices=["cpu", "tpu"],
         help="pin the jax backend in-process (env vars are ignored: jax "
         "is pre-imported on the remote-TPU backend); use --platform cpu "
         "for correctness drives that must not touch the chip",

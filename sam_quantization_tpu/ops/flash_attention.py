@@ -375,12 +375,6 @@ def _attn_kernel_rowblock_bias3d(
     q_ref, k_ref, v_ref, rh_ref, rw_ref, *refs, kh, kw, exp2,
     out_quant=False,
 ):
-    if out_quant:
-        ois_ref, o_ref = refs
-        out_inv_scale = ois_ref[0]
-    else:
-        (o_ref,) = refs
-        out_inv_scale = None
     """Row-block global attention with the bias as a VPU broadcast add.
 
     The augmented contraction (module docstring, idea 2) is free for the
@@ -393,6 +387,12 @@ def _attn_kernel_rowblock_bias3d(
     shape cast, so the kh-broadcast is an iota-select over the 128/kw
     h-values each lane block spans — static slices + VPU only).
     """
+    if out_quant:
+        ois_ref, o_ref = refs
+        out_inv_scale = ois_ref[0]
+    else:
+        (o_ref,) = refs
+        out_inv_scale = None
     s = jax.lax.dot_general(
         q_ref[0],
         k_ref[0],

@@ -249,7 +249,9 @@ def test_int_linear_nk_layout(rng):
     # int8-pre input (the flash int8-out epilogue's hand-off)
     lin_nk = cache_int8({"lin": p}, act_scales={"lin": amax},
                         transpose=True)["lin"]
-    lin_kn = cache_int8({"lin": p}, act_scales={"lin": amax})["lin"]
+    lin_kn = cache_int8({"lin": p}, act_scales={"lin": amax},
+                        transpose=False)["lin"]
+    assert lin_kn.layout == "kn" and lin_nk.layout == "nk"
     xq = jnp.clip(
         jnp.round(x / lin_kn.in_scale), -127, 127
     ).astype(jnp.int8)

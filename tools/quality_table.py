@@ -31,7 +31,7 @@ def parse_args(argv=None):
     p.add_argument("--calib-samples", type=int, default=8)
     p.add_argument("--num-clicks", type=int, default=5)
     p.add_argument("--noc-clicks", type=int, default=12)
-    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     p.add_argument("--out", default="QUALITY.json")
     p.add_argument(
         "--configs", nargs="*",

@@ -35,7 +35,7 @@ def parse_args(argv=None):
     p.add_argument("--target-iou", type=float, default=0.8)
     p.add_argument("--out", default="checkpoints/vit_tiny_synth")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     p.add_argument("--resume", action="store_true")
     p.add_argument("--pool", type=int, default=512,
                    help="training-scene pool size (bigger = less memorization)")
