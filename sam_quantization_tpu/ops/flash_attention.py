@@ -631,7 +631,10 @@ def flash_attention_relpos(
         and bias3d is not False
         and os.environ.get("SAMQ_FLASH_BIAS3D") != "0"
     ):
-        block_q = min(Lp, 256)
+        # 128-row q blocks: swept {128, 256, 512} on v5e at the ViT-H
+        # global stage — 128 measures 8.16-8.23 ms vs 256's 8.49-8.66
+        # across rounds 2-3 (smaller logits scratch pipelines better).
+        block_q = min(Lp, 128)
         if block_q_override is not None and Lp % block_q_override == 0:
             block_q = block_q_override
         env_bq = os.environ.get("SAMQ_GLOBAL_BLOCK_Q")  # trace-time gate
