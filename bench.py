@@ -380,10 +380,12 @@ def main():
                 table[args.model] = act_scales
                 with open(cache_path, "w") as f:
                     json.dump(table, f, indent=1, sort_keys=True)
-        a8_skip = args.a8_skip
-        if a8_skip is None:
-            a8_skip = "" if args.model in ("vit_l", "vit_h") else "attn.proj"
-        skip = tuple(s for s in a8_skip.split(",") if s)
+        if args.a8_skip is None:
+            from sam_quantization_tpu.nn.packed import default_serve_skip
+
+            skip = default_serve_skip(ecfg.embed_dim)
+        else:
+            skip = tuple(s for s in args.a8_skip.split(",") if s)
         qparams = cache_int8(
             qparams, act_scales=act_scales, skip=skip,
             keep_packed=("mlp.",) if args.keep_packed_mlp else (),

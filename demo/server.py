@@ -150,9 +150,17 @@ def main():
 
         enc, qcfg = artifacts.load_quantized(args.load)
         if args.serve_int8 and qcfg.get("sym"):
-            from sam_quantization_tpu.nn.packed import cache_int8
+            from sam_quantization_tpu.models.configs import CONFIGS
+            from sam_quantization_tpu.nn.packed import (
+                cache_int8, default_serve_skip,
+            )
 
-            enc = cache_int8(enc, act_scales=qcfg.get("act_scales"))
+            enc = cache_int8(
+                enc, act_scales=qcfg.get("act_scales"),
+                skip=default_serve_skip(
+                    CONFIGS[args.model].image_encoder.embed_dim
+                ),
+            )
         model = sam_lib.Sam(
             image_encoder=enc, prompt_encoder=model.prompt_encoder,
             mask_decoder=model.mask_decoder, config=model.config,

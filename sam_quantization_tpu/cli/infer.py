@@ -61,15 +61,17 @@ def main(argv=None):
                 print("--serve-int8 needs a symmetric gptq/rtn artifact "
                       "(quantize with --sym); ignoring", file=sys.stderr)
             else:
-                from sam_quantization_tpu.nn.packed import cache_int8
+                from sam_quantization_tpu.models.configs import CONFIGS
+                from sam_quantization_tpu.nn.packed import (
+                    cache_int8, default_serve_skip,
+                )
 
                 scales = qcfg.get("act_scales")
-                # per-op routing is measurement-driven per model width:
-                # the small square attn.proj loses in int8 at ViT-B/tiny
-                # (0.82x) but wins at the 1280-wide ViT-L/H (1.16-1.37x,
-                # tools/microbench_a8.py + matched A/B, BENCHMARKS.md r3)
-                skip = () if args.model in ("vit_l", "vit_h") else ("attn.proj",)
-                enc = cache_int8(enc, act_scales=scales, skip=skip)
+                ecfg_ = CONFIGS[args.model].image_encoder
+                enc = cache_int8(
+                    enc, act_scales=scales,
+                    skip=default_serve_skip(ecfg_.embed_dim),
+                )
                 model = sam_lib.Sam(
                     image_encoder=enc,
                     prompt_encoder=model.prompt_encoder,

@@ -206,7 +206,14 @@ def _packed_rel_and_flash(
     # shape, tools/microbench_a8.py round 3).
     ois = None
     proj = p.get("proj")
-    if isinstance(proj, IntLinear) and proj.in_scale is not None:
+    if (
+        isinstance(proj, IntLinear)
+        and proj.in_scale is not None
+        and qkv.dtype == jnp.bfloat16
+    ):
+        # bf16-serving only: IntLinear's int8-pre branch emits bf16, so
+        # engaging the epilogue in an f32 pipeline would silently downcast
+        # the attention output (quant_matmul.int8_matmul docstring).
         ois = 1.0 / proj.in_scale
     return flash_attention.flash_attention_qkv_packed(
         qkv, rel, hd**-0.5, nh=nh, hd=hd, kh=kh, kw=kw, out_inv_scale=ois
@@ -359,7 +366,11 @@ def attention(
         # and return bf16 — IntLinear accepts both.
         ois = None
         proj = p.get("proj")
-        if isinstance(proj, IntLinear) and proj.in_scale is not None:
+        if (
+            isinstance(proj, IntLinear)
+            and proj.in_scale is not None
+            and x.dtype == jnp.bfloat16  # bf16-serving only (see above)
+        ):
             ois = 1.0 / proj.in_scale
         out = flash_attention.flash_attention_relpos(
             q.reshape(B, nh, L, hd),

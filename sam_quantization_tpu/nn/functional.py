@@ -211,7 +211,16 @@ def init_embedding(key, num: int, dim: int):
 
 
 def to_fp32_weight(p) -> jax.Array:
-    """Dense (K, N) weight view of a (possibly packed) linear param."""
+    """Dense (K, N) weight view of a (possibly packed/int-cached) linear
+    param — the seam build_sam.to_torch_state_dict exports through."""
     if isinstance(p, PackedLinear):
         return dequantize(p)
+    if isinstance(p, IntLinear):
+        w8 = p.w8.T if p.layout == "nk" else p.w8  # -> (K, N)
+        K, N = w8.shape
+        G = p.scales.shape[0]
+        wf = w8.astype(jnp.float32)
+        if G == 1:
+            return wf * p.scales[0][None, :]
+        return (wf.reshape(G, K // G, N) * p.scales[:, None, :]).reshape(K, N)
     return p["w"]

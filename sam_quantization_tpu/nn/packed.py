@@ -320,6 +320,10 @@ def cache_int8(
     from sam_quantization_tpu.nn import packed as _p
 
     def walk(node, path=""):
+        if isinstance(node, PackedLinear) and act_scales and path in act_scales:
+            # a key landing on ANY real linear is well-formed, even when
+            # that layer is routed away from the static-int8 path below
+            matched.add(path)
         if isinstance(node, PackedLinear) and any(
             s in path for s in keep_packed
         ):
@@ -338,6 +342,7 @@ def cache_int8(
             mid = 1 << (node.bits - 1)
             in_scale = None
             if act_scales is not None and path in act_scales:
+                matched.add(path)
                 in_scale = jnp.float32(act_scales[path]) / 127.0
             if per_channel and node.scales.shape[0] > 1:
                 w = _p.dequantize(node, jnp.float32)  # exact (K, N)
@@ -370,7 +375,59 @@ def cache_int8(
             return [walk(v, f"{path}.{i}") for i, v in enumerate(node)]
         return node
 
-    return walk(tree)
+    matched: set = set()
+    out = walk(tree)
+    if act_scales:
+        unmatched = set(act_scales) - matched
+        if unmatched:
+            # A key that matches no walk path is almost always a bug (e.g.
+            # single-block suffixes like 'attn.qkv' passed for a full
+            # encoder whose paths are 'blocks.N.attn.qkv') — and the
+            # failure mode is SILENT: the static/int8-pre serving path
+            # never engages and dynamic quantization runs instead. Use
+            # expand_act_scales to broadcast suffixes over a tree.
+            raise ValueError(
+                f"act_scales keys matched no quantized linear: "
+                f"{sorted(unmatched)}"
+            )
+    return out
+
+
+def default_serve_skip(embed_dim: int) -> tuple:
+    """Measurement-driven per-op routing for the int8 serving mode, in ONE
+    place for every call site (cli/infer, demo/server, bench): the
+    attn.proj int8 dot wins at 1280-wide ViT-L/H (matched A/B
+    23.63 → 24.04 img/s, and it unlocks the flash int8-out epilogue) but
+    loses at ≤768-wide ViT-B/tiny (0.82×, the activation-quantize pass
+    outweighs the small square dot — tools/microbench_a8.py)."""
+    return () if embed_dim >= 1024 else ("attn.proj",)
+
+
+def expand_act_scales(tree, suffix_scales: dict) -> dict:
+    """Broadcast {path-suffix: amax} over a pytree's quantized linears.
+
+    ``{'attn.qkv': 8.0}`` becomes ``{'blocks.0.attn.qkv': 8.0, ...}`` for
+    every PackedLinear whose cache_int8 walk path ends with the suffix —
+    the ergonomic form for hand-written scales in tests/dryruns, where
+    full calibrated tables (quant.act_scales) would be overkill.
+    """
+    out = {}
+
+    def walk(node, path=""):
+        if isinstance(node, PackedLinear):
+            for suffix, amax in suffix_scales.items():
+                if path == suffix or path.endswith("." + suffix):
+                    out[path] = amax
+            return
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{path}.{k}" if path else k)
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(v, f"{path}.{i}")
+
+    walk(tree)
+    return out
 
 
 def with_act_bits(tree, act_bits: int):

@@ -121,12 +121,6 @@ def _attn_kernel_qkv_packed(
     q_ref, k_ref, v_ref, rel_ref, *refs, L, bw, nh, hd, kh, kw, scale,
     exp2, out_quant=False,
 ):
-    if out_quant:
-        ois_ref, o_ref = refs
-        out_inv_scale = ois_ref[0]
-    else:
-        (o_ref,) = refs
-        out_inv_scale = None
     """Windowed attention on head-packed q/k/v activations.
 
     q/k/v refs are (bw, Lp, nh*hd) slices of the qkv projection output —
@@ -140,6 +134,12 @@ def _attn_kernel_qkv_packed(
     slices off; OOB k/v rows are zeroed (a NaN there would poison every
     row through the softmax), and OOB columns are masked to -inf.
     """
+    if out_quant:
+        ois_ref, o_ref = refs
+        out_inv_scale = ois_ref[0]
+    else:
+        (o_ref,) = refs
+        out_inv_scale = None
     Lp = q_ref.shape[1]
     dt = q_ref.dtype  # compute dtype (o_ref may be int8 with out_inv_scale)
     # Batched-head dots are the default: stacking all nh heads into two

@@ -129,7 +129,10 @@ def int8_matmul(x: jax.Array, p: IntLinear) -> jax.Array:
 
     An int8 ``x`` is taken as ALREADY quantized at ``in_scale`` (int8-pre):
     the flash attention kernel's int8-out epilogue feeds attn.proj this way
-    (ops/flash_attention.flash_attention_qkv_packed out_inv_scale)."""
+    (ops/flash_attention.flash_attention_qkv_packed out_inv_scale). The
+    original activation dtype is unrecoverable from an int8 input, so this
+    branch emits bf16 — callers engage the epilogue only in bf16 pipelines
+    (models/image_encoder.attention gates on the activation dtype)."""
     # nk layout: w8 is (N, K); contract x's K against w8's LAST dim. Same
     # math, physically-minor contraction dim — the measured-faster int8 dot
     # (IntLinear.layout).

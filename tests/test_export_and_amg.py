@@ -272,15 +272,23 @@ def test_savedmodel_quantized_encoder_cpp_runner(tmp_path, rng):
     runner = _ensure_savedmodel_runner()
 
     from sam_quantization_tpu import export
-    from sam_quantization_tpu.nn.packed import cache_int8
+    from sam_quantization_tpu.nn.packed import (
+        IntLinear, cache_int8, expand_act_scales,
+    )
     from sam_quantization_tpu.quant import gptq, sequential
 
     model = sam_lib.init(jax.random.PRNGKey(2), VIT_TINY)
     qcfg = gptq.GPTQConfig(bits=4, groupsize=32, sym=True)
     enc = sequential.rtn_quantize_encoder(model.image_encoder, qcfg)
     enc = cache_int8(
-        enc, act_scales={"attn.qkv": 8.0, "mlp.lin1": 8.0, "mlp.lin2": 8.0}
+        enc,
+        act_scales=expand_act_scales(
+            enc, {"attn.qkv": 8.0, "mlp.lin1": 8.0, "mlp.lin2": 8.0}
+        ),
     )
+    # the static-scale serving path must actually be engaged (a key that
+    # matches no walk path used to fail SILENTLY into dynamic quantization)
+    assert enc["blocks"][0]["attn"]["qkv"].in_scale is not None
     qmodel = sam_lib.Sam(
         enc, model.prompt_encoder, model.mask_decoder, VIT_TINY
     )

@@ -305,20 +305,25 @@ def test_flash_int8_out_epilogue_feeds_proj():
     assert isinstance(served["attn"]["proj"], IntLinear)
     assert served["attn"]["proj"].in_scale is not None
 
-    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 5, cfg.embed_dim))
+    # bf16 input: the epilogue is gated to bf16 pipelines (the int8-pre
+    # branch emits bf16, so f32 activations keep the quantize-separate path)
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (2, 5, 5, cfg.embed_dim)
+    ).astype(jnp.bfloat16)
     orig_packed = fa._fused_attention_qkv_packed
+    seen_ois = []
+
+    def spy(*a, **kw):
+        seen_ois.append(a[2] if len(a) > 2 else kw.get("out_inv_scale"))
+        return orig_packed(*a, **{**kw, "interpret": True})
+
     try:
-        fa._fused_attention_qkv_packed = lambda *a, **kw: orig_packed(
-            *a, **{**kw, "interpret": True}
-        )
+        fa._fused_attention_qkv_packed = spy
         out_pre = ie.attention(served["attn"], x, cfg, attn_impl="flash")
     finally:
         fa._fused_attention_qkv_packed = orig_packed
+    assert seen_ois and seen_ois[0] is not None, "epilogue did not engage"
     # reference: same weights, bf16-out + IntLinear's own static quantize
-    import dataclasses
-
-    served_ref = dict(served)
-    served_ref["attn"] = dict(served["attn"])
     out_ref = ie.attention(served["attn"], x, cfg, attn_impl="xla")
     # both quantize proj's input at the same static scale; the only delta is
     # rounding order (f32-round in kernel vs bf16-cast-then-round)
