@@ -320,10 +320,18 @@ def cache_int8(
     from sam_quantization_tpu.nn import packed as _p
 
     def walk(node, path=""):
-        if isinstance(node, PackedLinear) and act_scales and path in act_scales:
+        if act_scales and path in act_scales:
             # a key landing on ANY real linear is well-formed, even when
-            # that layer is routed away from the static-int8 path below
-            matched.add(path)
+            # that layer is routed away from the static-int8 path below —
+            # including layers left FP-dense ({'w': ...} dict nodes) by
+            # QuantOverrides skip rules, whose inputs the calibration ctx
+            # records just the same (quant/act_scales.py InputAmaxCtx).
+            if isinstance(node, PackedLinear) or (
+                isinstance(node, dict)
+                and "w" in node
+                and getattr(node["w"], "ndim", 0) == 2
+            ):
+                matched.add(path)
         if isinstance(node, PackedLinear) and any(
             s in path for s in keep_packed
         ):
@@ -396,11 +404,14 @@ def cache_int8(
 def default_serve_skip(embed_dim: int) -> tuple:
     """Measurement-driven per-op routing for the int8 serving mode, in ONE
     place for every call site (cli/infer, demo/server, bench): the
-    attn.proj int8 dot wins at 1280-wide ViT-L/H (matched A/B
+    attn.proj int8 dot wins at 1280-wide ViT-H (matched A/B
     23.63 → 24.04 img/s, and it unlocks the flash int8-out epilogue) but
     loses at ≤768-wide ViT-B/tiny (0.82×, the activation-quantize pass
-    outweighs the small square dot — tools/microbench_a8.py)."""
-    return () if embed_dim >= 1024 else ("attn.proj",)
+    outweighs the small square dot — tools/microbench_a8.py). 1024-wide
+    ViT-L sits between the measured regimes; it routes proj to int8 only
+    once its own microbench A/B wins (tools/microbench_a8.py --dim 1024),
+    until then it takes the safe bf16 route."""
+    return () if embed_dim >= 1280 else ("attn.proj",)
 
 
 def expand_act_scales(tree, suffix_scales: dict) -> dict:

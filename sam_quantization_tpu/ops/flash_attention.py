@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import functools
 import os
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -76,6 +77,20 @@ LOG2E = 1.4426950408889634
 
 def _use_exp2() -> bool:
     return os.environ.get("SAMQ_FLASH_EXP2") != "0"
+
+
+def _env_int(name: str) -> Optional[int]:
+    """Parse an integer trace-time env gate, failing loudly on junk."""
+    raw = os.environ.get(name)
+    if not raw:
+        return None
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"{name}={raw!r} is not an integer; unset it or pass a plain "
+            f"decimal value (trace-time sweep gate, see module note)."
+        ) from None
 
 
 def _kexp(s, use_exp2: bool):
@@ -361,9 +376,18 @@ def flash_attention_qkv_packed(
     bw = max(d for d in range(1, bw_max + 1) if NW % d == 0)
     if bw_override is not None and NW % bw_override == 0:
         bw = bw_override
-    env_bw = os.environ.get("SAMQ_PACKED_BW")  # trace-time gate (see note)
-    if env_bw and NW % int(env_bw) == 0:
-        bw = int(env_bw)
+    env_bw = _env_int("SAMQ_PACKED_BW")  # trace-time gate (see note)
+    if env_bw and NW % env_bw == 0:
+        if env_bw > bw_max:
+            # A stale sweep var must not reintroduce the measured NW>64
+            # scoped-vmem compile failure the bw_max pin exists to avoid.
+            warnings.warn(
+                f"SAMQ_PACKED_BW={env_bw} exceeds the safe bw={bw_max} at "
+                f"NW={NW} (Mosaic scoped-vmem limit); clamping.",
+                stacklevel=2,
+            )
+            env_bw = bw_max
+        bw = env_bw
     out = _fused_attention_qkv_packed(
         qkv, rel, out_inv_scale, nh=nh, hd=hd, L=L, kh=kh, kw=kw,
         scale=scale, bw=bw, interpret=interpret, exp2=exp2,
@@ -637,9 +661,9 @@ def flash_attention_relpos(
         block_q = min(Lp, 128)
         if block_q_override is not None and Lp % block_q_override == 0:
             block_q = block_q_override
-        env_bq = os.environ.get("SAMQ_GLOBAL_BLOCK_Q")  # trace-time gate
-        if env_bq and Lp % int(env_bq) == 0:
-            block_q = int(env_bq)
+        env_bq = _env_int("SAMQ_GLOBAL_BLOCK_Q")  # trace-time gate
+        if env_bq and Lp % env_bq == 0:
+            block_q = env_bq
         # No lane padding: Pallas accepts full-dim trailing blocks (hd=80,
         # kh/kw=64), the MXU pads registers internally, and skipping the
         # pads removes five (BH, L, 128) staging writes per call.

@@ -96,6 +96,39 @@ def test_flash_dispatch_overrides(bw, block_q):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
 
+def test_env_int_gates(monkeypatch):
+    """Malformed SAMQ_PACKED_BW/SAMQ_GLOBAL_BLOCK_Q values fail with a clear
+    message instead of a bare int() ValueError, and an oversized
+    SAMQ_PACKED_BW is clamped (with a warning) to the safe bw rather than
+    reintroducing the measured NW>64 scoped-vmem compile failure."""
+    import warnings as _warnings
+
+    from sam_quantization_tpu.ops.flash_attention import (
+        _env_int, flash_attention_qkv_packed,
+    )
+
+    monkeypatch.setenv("SAMQ_PACKED_BW", "fast")
+    with pytest.raises(ValueError, match="SAMQ_PACKED_BW"):
+        _env_int("SAMQ_PACKED_BW")
+    monkeypatch.setenv("SAMQ_PACKED_BW", "4")
+    assert _env_int("SAMQ_PACKED_BW") == 4
+    monkeypatch.delenv("SAMQ_PACKED_BW", raising=False)
+    assert _env_int("SAMQ_PACKED_BW") is None
+
+    # NW=68 > 64 pins bw_max=1; an env bw=4 divides NW? 68 % 4 == 0 → the
+    # override path engages and must clamp to 1 with a warning.
+    qkv = jax.random.normal(jax.random.PRNGKey(3), (68, 196, 3 * 2 * 64))
+    rel = jnp.zeros((68, 2, 196, 28), jnp.float32)
+    monkeypatch.setenv("SAMQ_PACKED_BW", "4")
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        out = flash_attention_qkv_packed(
+            qkv, rel, 64**-0.5, nh=2, hd=64, kh=14, kw=14, interpret=True
+        )
+    assert any("SAMQ_PACKED_BW" in str(w.message) for w in rec)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 @pytest.mark.parametrize("exp2", ["1", "0"])
 def test_flash_exp2_gate_parity(exp2, monkeypatch):
     """Both kernel variants — exp2 softmax with the log2(e) prescale folded

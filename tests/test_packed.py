@@ -326,6 +326,26 @@ def test_calibrate_act_scales_paths(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_cache_int8_act_scales_for_dense_skipped_layer(rng):
+    """A calibrated act_scales key that lands on a layer left FP-dense
+    (QuantOverrides skip rule → plain {'w': ...} node) must NOT trip the
+    unmatched-keys guard — the calibration ctx records every linear's
+    input, quantized or not (quant/act_scales.py). Truly bogus keys
+    (matching no linear-shaped node at all) must still raise."""
+    import pytest
+    from sam_quantization_tpu.nn.packed import IntLinear, cache_int8
+
+    w = rng.normal(size=(64, 32)).astype(np.float32) * 0.05
+    p = packed.quantize_rtn(jnp.asarray(w), bits=4, groupsize=0, sym=True)
+    dense = {"w": jnp.asarray(w), "b": jnp.zeros((32,), jnp.float32)}
+    tree = {"q": p, "skipped": dense}
+    out = cache_int8(tree, act_scales={"q": 3.0, "skipped": 2.0}, skip=None)
+    assert isinstance(out["q"], IntLinear) and out["q"].in_scale is not None
+    assert isinstance(out["skipped"], dict)  # untouched dense node
+    with pytest.raises(ValueError, match="matched no quantized linear"):
+        cache_int8(tree, act_scales={"blocks.0.attn.qkv": 1.0}, skip=None)
+
+
 def test_autotune_candidates_and_table(tmp_path):
     from sam_quantization_tpu.ops import autotune
 
