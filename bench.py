@@ -219,7 +219,7 @@ def main():
         # beats bf16 (BENCHMARKS.md round 2). --segments keeps every program
         # small enough for the axon remote-compile helper.
         sys.argv += ["--model", "vit_h", "--segments", "--a8-cached",
-                     "--static-act", "--quant-passes", "3"]
+                     "--static-act", "--quant-passes", "3", "--fp-passes", "3"]
         print("[bench] no args: headline ViT-H int8-serving config",
               file=sys.stderr, flush=True)
     ap = argparse.ArgumentParser()
@@ -285,6 +285,12 @@ def main():
                          "times (same compiled programs) and record every "
                          "value — the matched-pair spread lands in the "
                          "JSON instead of only in BENCHMARKS.md prose")
+    ap.add_argument("--fp-passes", type=int, default=1,
+                    help="with --segments: re-time the bf16 pass N times "
+                         "too, so vs_baseline is a mean-vs-mean ratio "
+                         "(the r3 official run paired a 3-pass quant mean "
+                         "against a single bf16 pass — a one-sided "
+                         "variance exposure)")
     ap.add_argument("--skip-fp", type=float, default=0.0,
                     help="skip the bf16 pass and use this img/s as the "
                          "baseline (kernel-iteration A/B runs; the driver's "
@@ -309,14 +315,22 @@ def main():
     x = jnp.zeros((args.batch, size, size, 3), jnp.bfloat16)
 
     print(f"[bench] {args.model} bf16 encoder...", file=sys.stderr, flush=True)
+    fp_runs = []
     if args.skip_fp:
         fp_ips = args.skip_fp
         print(f"[bench] bf16 skipped; baseline {fp_ips} img/s (--skip-fp)",
               file=sys.stderr, flush=True)
     elif args.segments:
-        fp_ips = _segments_throughput(
+        fp_runs = [_segments_throughput(
             params, x, ecfg, args.baseline_attn, args.reps, args.seg_reps
-        )
+        )]
+        # re-timed passes of the same compiled programs, mirroring
+        # --quant-passes: vs_baseline becomes a mean-vs-mean ratio
+        for _ in range(args.fp_passes - 1):
+            fp_runs.append(_segments_throughput(
+                params, x, ecfg, args.baseline_attn, args.reps, args.seg_reps
+            ))
+        fp_ips = sum(fp_runs) / len(fp_runs)
     elif args.chain:
         fp_ips = _chained_throughput(
             lambda p, xi: image_encoder.apply(p, xi, ecfg, attn_impl=args.baseline_attn),
@@ -446,16 +460,29 @@ def main():
         bf16_arm = (
             "the bf16 baseline was injected via --skip-fp (no bf16 pass "
             "this run)" if args.skip_fp
+            else f"the bf16 arm is the mean of {len(fp_runs)} same-run "
+                 "pass(es) (bf16_img_s_runs)" if len(fp_runs) > 1
             else "the bf16 arm is a single same-run pass"
         )
         record["run_variance_note"] = (
             f"value is the mean of {len(q_runs)} re-timed passes of the "
             f"same compiled programs (quant_img_s_runs); {bf16_arm}"
         )
+    if len(fp_runs) > 1:
+        record["bf16_img_s_runs"] = [round(v, 4) for v in fp_runs]
+        record["bf16_img_s_spread"] = round(max(fp_runs) - min(fp_runs), 4)
     if _SEGMENTS_LAST:
-        quant_segs = _SEGMENTS_LAST[0 if args.skip_fp else 1:]
-        if not args.skip_fp and len(_SEGMENTS_LAST) > 1:
-            record["bf16_segments_ms"] = _SEGMENTS_LAST[0]
+        n_fp = 0 if args.skip_fp else len(fp_runs)
+        quant_segs = _SEGMENTS_LAST[n_fp:]
+        fp_segs = _SEGMENTS_LAST[:n_fp]
+        if len(fp_segs) == 1:
+            record["bf16_segments_ms"] = fp_segs[0]
+        elif fp_segs:
+            record["bf16_segments_ms"] = {
+                k: round(sum(s[k] for s in fp_segs) / len(fp_segs), 3)
+                for k in fp_segs[0]
+            }
+            record["bf16_segments_ms_runs"] = fp_segs
         if len(quant_segs) > 1:
             # per-stage MEAN across the re-timed passes, consistent with
             # `value`; the raw per-pass breakdowns ride alongside
