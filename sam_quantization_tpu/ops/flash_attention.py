@@ -64,7 +64,8 @@ NEG_INF = -1e30
 # SAMQ_FLASH_EXP2=0 opts out (then the log2e prescale is skipped and the
 # kernels call exp on plain-scaled logits).
 #
-# NOTE: all SAMQ_FLASH_* / SAMQ_HOIST_* env gates are read at TRACE time
+# NOTE: all SAMQ_FLASH_* / SAMQ_HOIST_* / SAMQ_GLOBAL_* env gates are read
+# at TRACE time
 # (they become static jit arguments / branch choices). Flipping one
 # mid-process does NOT retrace programs that are already jitted and cached
 # — e.g. make_per_block_apply's memoized block jits — so an in-process A/B
@@ -77,6 +78,50 @@ LOG2E = 1.4426950408889634
 
 def _use_exp2() -> bool:
     return os.environ.get("SAMQ_FLASH_EXP2") != "0"
+
+
+# Clamped softmax: replace the per-row max-subtract with a STATIC shift —
+# p = exp2(clip(s, FLOOR, CAP) - CAP). Mathematically identical to the
+# max-subtracted softmax after normalization whenever the row's logits lie
+# in [FLOOR, CAP] (the subtracted constant cancels in p/sum(p)); the clip
+# only engages outside that range. What it buys: the row-max reduction and
+# its (L, L) re-streaming subtract disappear, so Mosaic fuses bias-add +
+# shift + exp2 into ONE streaming pass over the logits. Measured on v5e
+# (tools/global_stage_probe.py, round 4): the L=4096 bias3d global kernel
+# drops 1.25 -> 0.91 ms/block (with halves=2), the windowed packed kernel
+# also gains (probe table in the commit).
+#
+# Safety of the constants (exp2 mode; exp mode uses the same values scaled
+# by ln 2 so the exponent range is identical):
+#   * CAP = 64 post-log2e units = raw logit 44.4. SAM logits are LN-bounded
+#     (|q.k|/sqrt(hd) + bias well under 30 on the trained checkpoints);
+#     rows above the cap would squash toward uniform — the opt-out is
+#     SAMQ_FLASH_CLAMP=0.
+#   * FLOOR = -60: p >= 2^(FLOOR-CAP) = 2^-124 for EVERY element — above
+#     the f32 subnormal boundary (2^-126), so sum(p) > 0 always and the
+#     deferred 1/sum can never produce inf/NaN, for any input. Masked OOB
+#     columns (-1e9 lane) floor at 2^-124 instead of 0: relative weight
+#     <= 2^(FLOOR - s_max) of any in-range row — noise below bf16
+#     resolution. bf16/f32 are floating, so the tiny absolute magnitudes
+#     of p lose no RELATIVE precision vs the max-subtracted form.
+_CLAMP_CAP2, _CLAMP_FLOOR2 = 64.0, -60.0
+_CLAMP_CAPE, _CLAMP_FLOORE = 64.0 / LOG2E, -60.0 / LOG2E
+
+
+def _use_clamp() -> bool:
+    return os.environ.get("SAMQ_FLASH_CLAMP") != "0"
+
+
+def _psoft(s, exp2: bool, clamp: bool):
+    """Unnormalized softmax numerator (p <= 1), max-subtracted or clamped."""
+    if clamp:
+        cap, floor = (
+            (_CLAMP_CAP2, _CLAMP_FLOOR2) if exp2
+            else (_CLAMP_CAPE, _CLAMP_FLOORE)
+        )
+        return _kexp(jnp.clip(s, floor, cap) - cap, exp2)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    return _kexp(s - m, exp2)
 
 
 def _env_int(name: str) -> Optional[int]:
@@ -102,7 +147,7 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel(qa_ref, ka_ref, v_ref, o_ref, *, L, bw, exp2):
+def _attn_kernel(qa_ref, ka_ref, v_ref, o_ref, *, L, bw, exp2, clamp=False):
     """``bw`` full (batch*head) attention problems per program.
 
     qa_ref/ka_ref: (bw, Lp, Da) augmented q/k; v_ref: (bw, Lp, Dp);
@@ -119,8 +164,7 @@ def _attn_kernel(qa_ref, ka_ref, v_ref, o_ref, *, L, bw, exp2):
         if Lp > L:
             col = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
             s = s + jnp.where(col < L, 0.0, NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = _kexp(s - m, exp2)
+        p = _psoft(s, exp2, clamp)
         # Normalize AFTER the p·v dot: the divide shrinks from (Lp, Lp)
         # elements to (Lp, Dp) — softmax is ~40% of this kernel's time and
         # the divide is its most expensive VPU op. p ≤ 1 (max subtracted),
@@ -134,7 +178,7 @@ def _attn_kernel(qa_ref, ka_ref, v_ref, o_ref, *, L, bw, exp2):
 
 def _attn_kernel_qkv_packed(
     q_ref, k_ref, v_ref, rel_ref, *refs, L, bw, nh, hd, kh, kw, scale,
-    exp2, out_quant=False,
+    exp2, out_quant=False, clamp=False,
 ):
     """Windowed attention on head-packed q/k/v activations.
 
@@ -211,8 +255,7 @@ def _attn_kernel_qkv_packed(
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # (nh, Lp, Lp)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = _kexp(s - m, exp2)
+            p = _psoft(s, exp2, clamp)
             r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
             o = jax.lax.dot_general(
                 p.astype(vv.dtype), vv,
@@ -252,8 +295,7 @@ def _attn_kernel_qkv_packed(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (Lp, Lp)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = _kexp(s - m, exp2)
+            p = _psoft(s, exp2, clamp)
             # normalize after the p·v dot — divide (Lp, hd) not (Lp, Lp)
             r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
             o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
@@ -268,11 +310,12 @@ def _attn_kernel_qkv_packed(
     jax.jit,
     static_argnames=(
         "nh", "hd", "L", "kh", "kw", "scale", "bw", "interpret", "exp2",
+        "clamp",
     ),
 )
 def _fused_attention_qkv_packed(
     qkv, rel, out_inv_scale=None, *, nh, hd, L, kh, kw, scale, bw,
-    interpret, exp2=False,
+    interpret, exp2=False, clamp=False,
 ):
     NW = qkv.shape[0]
     CH = nh * hd
@@ -302,7 +345,7 @@ def _fused_attention_qkv_packed(
         functools.partial(
             _attn_kernel_qkv_packed,
             L=L, bw=bw, nh=nh, hd=hd, kh=kh, kw=kw, scale=scale, exp2=exp2,
-            out_quant=out_quant,
+            out_quant=out_quant, clamp=clamp,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -391,13 +434,14 @@ def flash_attention_qkv_packed(
     out = _fused_attention_qkv_packed(
         qkv, rel, out_inv_scale, nh=nh, hd=hd, L=L, kh=kh, kw=kw,
         scale=scale, bw=bw, interpret=interpret, exp2=exp2,
+        clamp=_use_clamp(),
     )
     return out[:, :L, :]
 
 
 def _attn_kernel_rowblock_bias3d(
     q_ref, k_ref, v_ref, rh_ref, rw_ref, *refs, kh, kw, exp2,
-    out_quant=False,
+    out_quant=False, halves=1, clamp=False,
 ):
     """Row-block global attention with the bias as a VPU broadcast add.
 
@@ -410,6 +454,16 @@ def _attn_kernel_rowblock_bias3d(
     added per 128-lane column block (Mosaic rejects a (BQ, L)→(BQ, kh, kw)
     shape cast, so the kh-broadcast is an iota-select over the 128/kw
     h-values each lane block spans — static slices + VPU only).
+
+    ``halves``: split the q-row block into that many INDEPENDENT chains.
+    Each chain's softmax (VPU) has no data dependence on the others' dots
+    (MXU), so Mosaic's scheduler can overlap them — the kernel body is no
+    longer one serial dot→softmax→dot chain per program. With ``clamp``
+    (see _psoft: the row-max pass replaced by a static shift, letting the
+    bias-add + exp2 fuse into one streaming pass) the L=4096 ViT-H global
+    kernel measures 1.25 → 0.91 ms/block on v5e at block_q=256, halves=2
+    (tools/global_stage_probe.py round 4; halves or clamp alone give only
+    part of it — 1.23 / 1.02).
     """
     if out_quant:
         ois_ref, o_ref = refs
@@ -417,51 +471,62 @@ def _attn_kernel_rowblock_bias3d(
     else:
         (o_ref,) = refs
         out_inv_scale = None
-    s = jax.lax.dot_general(
-        q_ref[0],
-        k_ref[0],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BQ, L), L == kh*kw
-    L = s.shape[1]
-    rh = rh_ref[0].astype(jnp.float32)  # (BQ, >=kh)
-    rw = rw_ref[0].astype(jnp.float32)  # (BQ, >=kw)
+    BQ = q_ref.shape[1]
+    hh = BQ // halves
     per = 128 // kw  # h-values per 128-lane block (kw <= 128, kw | 128)
-    rw128 = jnp.concatenate([rw[:, :kw]] * per, axis=-1)  # (BQ, 128)
     hsel = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) // kw  # 0..per-1
-    pieces = []
-    for j in range(L // 128):
-        bias = rw128
-        for t in range(per):
-            bias = bias + jnp.where(
-                hsel == t, rh[:, j * per + t][:, None], 0.0
-            )
-        pieces.append(s[:, j * 128 : (j + 1) * 128] + bias)
-    s = jnp.concatenate(pieces, axis=-1)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = _kexp(s - m, exp2)
-    # normalize after the p·v dot — divide (BQ, hd) not (BQ, L)
-    r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(
-        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
-    )
-    if out_quant:
-        # int8-out epilogue (same fusion as _attn_kernel_qkv_packed): the
-        # deferred-softmax normalize and the consumer's static activation
-        # quantize are one VMEM multiply-round — attn.proj gets int8-pre.
-        o_ref[0] = jnp.clip(
-            jnp.round(o * (r * out_inv_scale)), -127, 127
-        ).astype(o_ref.dtype)
-    else:
-        o_ref[0] = (o * r).astype(o_ref.dtype)
+    outs = []
+    for i in range(halves):
+        rows = slice(i * hh, (i + 1) * hh)
+        s = jax.lax.dot_general(
+            q_ref[0, rows],
+            k_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (hh, L), L == kh*kw
+        L = s.shape[1]
+        rh = rh_ref[0, rows].astype(jnp.float32)  # (hh, >=kh)
+        rw = rw_ref[0, rows].astype(jnp.float32)  # (hh, >=kw)
+        rw128 = jnp.concatenate([rw[:, :kw]] * per, axis=-1)  # (hh, 128)
+        pieces = []
+        for j in range(L // 128):
+            bias = rw128
+            for t in range(per):
+                bias = bias + jnp.where(
+                    hsel == t, rh[:, j * per + t][:, None], 0.0
+                )
+            pieces.append(s[:, j * 128 : (j + 1) * 128] + bias)
+        s = jnp.concatenate(pieces, axis=-1)
+        p = _psoft(s, exp2, clamp)
+        # normalize after the p·v dot — divide (hh, hd) not (hh, L)
+        r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(
+            p.astype(v_ref.dtype), v_ref[0],
+            preferred_element_type=jnp.float32,
+        )
+        if out_quant:
+            # int8-out epilogue (same fusion as _attn_kernel_qkv_packed):
+            # the deferred-softmax normalize and the consumer's static
+            # activation quantize are one VMEM multiply-round — attn.proj
+            # gets int8-pre.
+            outs.append(jnp.clip(
+                jnp.round(o * (r * out_inv_scale)), -127, 127
+            ).astype(o_ref.dtype))
+        else:
+            outs.append((o * r).astype(o_ref.dtype))
+    for i in range(halves):
+        o_ref[0, i * hh : (i + 1) * hh] = outs[i]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kh", "kw", "block_q", "interpret", "exp2")
+    jax.jit,
+    static_argnames=(
+        "kh", "kw", "block_q", "interpret", "exp2", "halves", "clamp",
+    ),
 )
 def _fused_attention_bias3d(
     qs, ks, v, rh, rw, out_inv_scale=None, *, kh, kw, block_q, interpret,
-    exp2=False,
+    exp2=False, halves=1, clamp=False,
 ):
     BH, L, Dp = qs.shape
     flops = 2 * BH * L * L * 2 * Dp
@@ -482,7 +547,7 @@ def _fused_attention_bias3d(
     return pl.pallas_call(
         functools.partial(
             _attn_kernel_rowblock_bias3d, kh=kh, kw=kw, exp2=exp2,
-            out_quant=out_quant,
+            out_quant=out_quant, halves=halves, clamp=clamp,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -502,7 +567,8 @@ def _fused_attention_bias3d(
     )(*operands)
 
 
-def _attn_kernel_rowblock(qa_ref, ka_ref, v_ref, o_ref, *, L, exp2):
+def _attn_kernel_rowblock(qa_ref, ka_ref, v_ref, o_ref, *, L, exp2,
+                          clamp=False):
     """One (BQ, L) row block for one (batch*head) — the long-L (global
     attention) shape where a full problem per program would not fit VMEM."""
     s = jax.lax.dot_general(
@@ -514,8 +580,7 @@ def _attn_kernel_rowblock(qa_ref, ka_ref, v_ref, o_ref, *, L, exp2):
     if s.shape[1] > L:
         col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
         s = s + jnp.where(col < L, 0.0, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = _kexp(s - m, exp2)
+    p = _psoft(s, exp2, clamp)
     # normalize after the p·v dot — divide (BQ, Dp) not (BQ, Lp)
     r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(
@@ -525,16 +590,19 @@ def _attn_kernel_rowblock(qa_ref, ka_ref, v_ref, o_ref, *, L, exp2):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("L", "bw", "block_q", "interpret", "exp2")
+    jax.jit,
+    static_argnames=("L", "bw", "block_q", "interpret", "exp2", "clamp"),
 )
-def _fused_attention(qa, ka, v, *, L, bw, block_q, interpret, exp2=False):
+def _fused_attention(qa, ka, v, *, L, bw, block_q, interpret, exp2=False,
+                     clamp=False):
     BH, Lp, Da = qa.shape
     Dp = v.shape[2]
     flops = 2 * BH * Lp * Lp * (Da + Dp)
     if bw > 1:
         grid = (BH // bw,)
         return pl.pallas_call(
-            functools.partial(_attn_kernel, L=L, bw=bw, exp2=exp2),
+            functools.partial(_attn_kernel, L=L, bw=bw, exp2=exp2,
+                              clamp=clamp),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((bw, Lp, Da), lambda i: (i, 0, 0)),
@@ -555,7 +623,7 @@ def _fused_attention(qa, ka, v, *, L, bw, block_q, interpret, exp2=False):
         )(qa, ka, v)
     grid = (BH, Lp // block_q)
     return pl.pallas_call(
-        functools.partial(_attn_kernel_rowblock, L=L, exp2=exp2),
+        functools.partial(_attn_kernel_rowblock, L=L, exp2=exp2, clamp=clamp),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, Da), lambda b, i: (b, i, 0)),
@@ -655,15 +723,29 @@ def flash_attention_relpos(
         and bias3d is not False
         and os.environ.get("SAMQ_FLASH_BIAS3D") != "0"
     ):
-        # 128-row q blocks: swept {128, 256, 512} on v5e at the ViT-H
-        # global stage — 128 measures 8.16-8.23 ms vs 256's 8.49-8.66
-        # across rounds 2-3 (smaller logits scratch pipelines better).
-        block_q = min(Lp, 128)
+        clamp = _use_clamp()
+        # Dispatch, measured on v5e at the ViT-H global shape
+        # (tools/global_stage_probe.py round 4): with the clamped softmax,
+        # 256-row q blocks split into 2 independent halves win (1.25 →
+        # 0.91 ms/block — the halves let Mosaic overlap one chain's VPU
+        # softmax with the other's MXU dots, and the clamp fuses bias-add
+        # + exp2 into one streaming pass). Without clamp (SAMQ_FLASH_CLAMP
+        # =0) the round-2/3 sweep result stands: 128-row blocks, one chain
+        # (8.16-8.23 vs 8.49-8.66 ms/stage for 256).
+        if clamp and Lp % 256 == 0:
+            block_q, halves = 256, 2
+        else:
+            block_q, halves = min(Lp, 128), 1
         if block_q_override is not None and Lp % block_q_override == 0:
             block_q = block_q_override
         env_bq = _env_int("SAMQ_GLOBAL_BLOCK_Q")  # trace-time gate
         if env_bq and Lp % env_bq == 0:
             block_q = env_bq
+        env_hv = _env_int("SAMQ_GLOBAL_HALVES")  # trace-time sweep gate
+        if env_hv and block_q % env_hv == 0:
+            halves = env_hv
+        if block_q % halves or (block_q // halves) % 8:
+            halves = 1
         # No lane padding: Pallas accepts full-dim trailing blocks (hd=80,
         # kh/kw=64), the MXU pads registers internally, and skipping the
         # pads removes five (BH, L, 128) staging writes per call.
@@ -672,6 +754,7 @@ def flash_attention_relpos(
             rel_h.reshape(BH, L, kh), rel_w.reshape(BH, L, kw),
             out_inv_scale,
             kh=kh, kw=kw, block_q=block_q, interpret=interpret, exp2=exp2,
+            halves=halves, clamp=clamp,
         )
         return out.reshape(B, nh, L, hd)
 
@@ -712,7 +795,7 @@ def flash_attention_relpos(
 
     out = _fused_attention(
         qa, ka, vp, L=L, bw=bw, block_q=block_q, interpret=interpret,
-        exp2=exp2,
+        exp2=exp2, clamp=_use_clamp(),
     )
     return out[:, :L, :hd].reshape(B, nh, L, hd)
 

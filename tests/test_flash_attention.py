@@ -366,3 +366,65 @@ def test_flash_int8_out_epilogue_feeds_proj():
     b = np.asarray(out_ref, np.float32).ravel()
     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
     assert cos > 0.999
+
+
+def test_flash_clamp_gate_parity(monkeypatch):
+    """SAMQ_FLASH_CLAMP=0 (row-max softmax) and the default clamped softmax
+    are the same normalized result up to dot/exp rounding — the static
+    shift cancels in p / sum(p) for in-range logits (see _psoft note)."""
+    from sam_quantization_tpu.ops import flash_attention as fa
+
+    q, k, v, rel_h, rel_w = _mk(11, 1, 2, 1024, 64, 32, 32)
+    out_clamp = flash_attention_relpos(
+        q, k, v, rel_h, rel_w, 0.125, interpret=True, bias3d=True
+    )
+    monkeypatch.setenv("SAMQ_FLASH_CLAMP", "0")
+    assert not fa._use_clamp()
+    out_max = flash_attention_relpos(
+        q, k, v, rel_h, rel_w, 0.125, interpret=True, bias3d=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_clamp), np.asarray(out_max), atol=2e-3
+    )
+    # windowed packed path too
+    NW, nh, L, hd = 4, 2, 196, 64
+    from sam_quantization_tpu.ops.flash_attention import (
+        flash_attention_qkv_packed,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 2)
+    qkv = jax.random.normal(ks[0], (NW, L, 3 * nh * hd), jnp.float32) * 0.5
+    rel = jax.random.normal(ks[1], (NW, nh, L, 28), jnp.float32) * 0.3
+    monkeypatch.delenv("SAMQ_FLASH_CLAMP", raising=False)
+    a = flash_attention_qkv_packed(
+        qkv, rel, hd**-0.5, nh=nh, hd=hd, kh=14, kw=14, interpret=True
+    )
+    monkeypatch.setenv("SAMQ_FLASH_CLAMP", "0")
+    b = flash_attention_qkv_packed(
+        qkv, rel, hd**-0.5, nh=nh, hd=hd, kh=14, kw=14, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_flash_clamp_never_nan():
+    """The clamp floor guarantees sum(p) > 0 for ANY input — rows whose
+    logits all sit below the floor (or above the cap) still produce finite
+    output (the max-subtract form is also finite there; the claim under
+    test is that replacing it with a static shift cannot divide by zero)."""
+    B, nh, L, hd, kh, kw = 1, 1, 1024, 64, 32, 32
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    # enormous negative logits: q·k ~ -4000 — far below the clamp floor
+    q = -jnp.abs(jax.random.normal(ks[0], (B, nh, L, hd))) * 8.0
+    k = jnp.abs(jax.random.normal(ks[1], (B, nh, L, hd))) * 8.0
+    v = jax.random.normal(ks[2], (B, nh, L, hd))
+    rel_h = jnp.zeros((B, nh, L, kh))
+    rel_w = jnp.zeros((B, nh, L, kw))
+    out = flash_attention_relpos(
+        q, k, v, rel_h, rel_w, hd**-0.5, interpret=True, bias3d=True
+    )
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    # enormous positive logits: above the cap, squashed but finite
+    out2 = flash_attention_relpos(
+        -q, k, v, rel_h, rel_w, hd**-0.5, interpret=True, bias3d=True
+    )
+    assert np.isfinite(np.asarray(out2, np.float32)).all()
