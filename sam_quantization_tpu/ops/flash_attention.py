@@ -178,7 +178,7 @@ def _attn_kernel(qa_ref, ka_ref, v_ref, o_ref, *, L, bw, exp2, clamp=False):
 
 def _attn_kernel_qkv_packed(
     q_ref, k_ref, v_ref, rel_ref, *refs, L, bw, nh, hd, kh, kw, scale,
-    exp2, out_quant=False, clamp=False,
+    exp2, out_quant=False, clamp=False, hsplit=1,
 ):
     """Windowed attention on head-packed q/k/v activations.
 
@@ -247,33 +247,43 @@ def _attn_kernel_qkv_packed(
                     qa_l.append(jnp.concatenate([qs, rel_ref[b, h]], -1))
                 ka_l.append(jnp.concatenate([k, sel], -1))
                 v_l.append(v)
-            qa = jnp.stack(qa_l)  # (nh, Lp, Da)
-            ka = jnp.stack(ka_l)
-            vv = jnp.stack(v_l)  # (nh, Lp, hd)
-            s = jax.lax.dot_general(
-                qa, ka,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # (nh, Lp, Lp)
-            p = _psoft(s, exp2, clamp)
-            r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
-            o = jax.lax.dot_general(
-                p.astype(vv.dtype), vv,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # (nh, Lp, hd)
-            if out_quant:
-                # int8-out epilogue: the deferred-softmax normalize and the
-                # consumer's static activation quantize fuse into one VMEM
-                # multiply-round — attn.proj receives int8 directly
-                # (int8-pre, no standalone quantize pass in HBM)
-                o = jnp.clip(
-                    jnp.round(o * (r * out_inv_scale)), -127, 127
-                ).astype(o_ref.dtype)
-            else:
-                o = (o * r).astype(o_ref.dtype)
+            # ``hsplit`` > 1 slices the head batch into that many
+            # INDEPENDENT dot→softmax→dot chains (same idea as the global
+            # kernel's ``halves``): the scheduler can overlap one chain's
+            # VPU softmax with another's MXU dots.
+            hg = nh // hsplit
+            o_groups = []
+            for g in range(hsplit):
+                qa = jnp.stack(qa_l[g * hg : (g + 1) * hg])  # (hg, Lp, Da)
+                ka = jnp.stack(ka_l[g * hg : (g + 1) * hg])
+                vv = jnp.stack(v_l[g * hg : (g + 1) * hg])  # (hg, Lp, hd)
+                s = jax.lax.dot_general(
+                    qa, ka,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # (hg, Lp, Lp)
+                p = _psoft(s, exp2, clamp)
+                r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+                o = jax.lax.dot_general(
+                    p.astype(vv.dtype), vv,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # (hg, Lp, hd)
+                if out_quant:
+                    # int8-out epilogue: the deferred-softmax normalize and
+                    # the consumer's static activation quantize fuse into
+                    # one VMEM multiply-round — attn.proj receives int8
+                    # directly (int8-pre, no standalone quantize in HBM)
+                    o = jnp.clip(
+                        jnp.round(o * (r * out_inv_scale)), -127, 127
+                    ).astype(o_ref.dtype)
+                else:
+                    o = (o * r).astype(o_ref.dtype)
+                o_groups.append(o)
             for h in range(nh):
-                o_ref[b, :, h * hd : (h + 1) * hd] = o[h]
+                o_ref[b, :, h * hd : (h + 1) * hd] = (
+                    o_groups[h // hg][h % hg]
+                )
             continue
         for h in range(nh):
             q = q_ref[b][:, h * hd : (h + 1) * hd]
@@ -310,12 +320,12 @@ def _attn_kernel_qkv_packed(
     jax.jit,
     static_argnames=(
         "nh", "hd", "L", "kh", "kw", "scale", "bw", "interpret", "exp2",
-        "clamp",
+        "clamp", "hsplit",
     ),
 )
 def _fused_attention_qkv_packed(
     qkv, rel, out_inv_scale=None, *, nh, hd, L, kh, kw, scale, bw,
-    interpret, exp2=False, clamp=False,
+    interpret, exp2=False, clamp=False, hsplit=1,
 ):
     NW = qkv.shape[0]
     CH = nh * hd
@@ -345,7 +355,7 @@ def _fused_attention_qkv_packed(
         functools.partial(
             _attn_kernel_qkv_packed,
             L=L, bw=bw, nh=nh, hd=hd, kh=kh, kw=kw, scale=scale, exp2=exp2,
-            out_quant=out_quant, clamp=clamp,
+            out_quant=out_quant, clamp=clamp, hsplit=hsplit,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -377,6 +387,7 @@ def flash_attention_qkv_packed(
     interpret: bool = False,
     bw_override: Optional[int] = None,
     out_inv_scale: Optional[jax.Array] = None,
+    hsplit_override: Optional[int] = None,
 ) -> jax.Array:
     """Windowed flash attention on the packed qkv projection output.
 
@@ -431,10 +442,20 @@ def flash_attention_qkv_packed(
             )
             env_bw = bw_max
         bw = env_bw
+    # Head-batch split (the global kernel's `halves` idea applied to the
+    # head dim): independent chains per program give the scheduler
+    # VPU/MXU overlap. Default 1 unless measured otherwise — sweep with
+    # SAMQ_PACKED_HSPLIT / hsplit_override (trace-time gate, see note).
+    hsplit = 1
+    if hsplit_override is not None and nh % hsplit_override == 0:
+        hsplit = hsplit_override
+    env_hs = _env_int("SAMQ_PACKED_HSPLIT")
+    if env_hs and nh % env_hs == 0:
+        hsplit = env_hs
     out = _fused_attention_qkv_packed(
         qkv, rel, out_inv_scale, nh=nh, hd=hd, L=L, kh=kh, kw=kw,
         scale=scale, bw=bw, interpret=interpret, exp2=exp2,
-        clamp=_use_clamp(),
+        clamp=_use_clamp(), hsplit=hsplit,
     )
     return out[:, :L, :]
 
@@ -733,7 +754,9 @@ def flash_attention_relpos(
         # =0) the round-2/3 sweep result stands: 128-row blocks, one chain
         # (8.16-8.23 vs 8.49-8.66 ms/stage for 256).
         if clamp and Lp % 256 == 0:
-            block_q, halves = 256, 2
+            # round-4 sweep (tools/split_sweep.py): bq=256 hv=4 0.844 ms vs
+            # hv=2 0.899, bq=512 hv=2/4 0.93/0.92, bq=128 hv=2 0.918
+            block_q, halves = 256, 4
         else:
             block_q, halves = min(Lp, 128), 1
         if block_q_override is not None and Lp % block_q_override == 0:
