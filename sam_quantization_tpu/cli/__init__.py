@@ -25,4 +25,11 @@ def apply_platform(args) -> None:
     if platform:
         import jax
 
+        if platform == "tpu" and jax.default_backend() == "tpu":
+            # Already on a TPU-class backend. Do NOT force the platform
+            # name: remote-TPU plugins register under their own name
+            # (e.g. 'axon') while still reporting default_backend()=='tpu',
+            # and pinning jax_platforms='tpu' there fails at first use
+            # with "No jellyfish device found".
+            return
         jax.config.update("jax_platforms", platform)

@@ -142,6 +142,10 @@ def gptq_quantize_matrix(
     hinv = _prepare_hinv(h, percdamp)
 
     g = groupsize if groupsize > 0 else K
+    # tiny layers: a group never exceeds the K axis (same clamp as
+    # nn/packed.quantize_rtn — a 64-wide vit_tiny layer at --groupsize 128
+    # otherwise hits a dynamic_slice shape error mid-solve)
+    g = min(g, K)
     bs = min(blocksize, g, K)
     assert K % bs == 0 and g % bs == 0, (K, g, bs)
     num_blocks = K // bs

@@ -86,11 +86,15 @@ def quantize_linear_gptq(
     """
     w = lin["w"]
     K, N = w.shape
+    # tiny layers: a group never exceeds the K axis (the RTN path clamps
+    # the same way in nn/packed.quantize_rtn; without this, vit_tiny's
+    # 64-wide layers at --groupsize 128 break the solve AND the pack)
+    gsize = min(qcfg.groupsize, K) if qcfg.groupsize > 0 else qcfg.groupsize
     res = gptq.gptq_quantize_matrix(
         w.T.astype(jnp.float32),
         h,
         bits=qcfg.bits,
-        groupsize=qcfg.groupsize,
+        groupsize=gsize,
         sym=qcfg.sym,
         actorder=qcfg.actorder,
         percdamp=qcfg.percdamp,
@@ -103,11 +107,11 @@ def quantize_linear_gptq(
         # With actorder the integer grid's groups follow the permuted column
         # order (g_idx); the packed layout wants contiguous groups, so store
         # the (correctly gathered) dequantized weights instead.
-        wq = gptq.reconstruct(res, qcfg.groupsize, K).T.astype(w.dtype)
+        wq = gptq.reconstruct(res, gsize, K).T.astype(w.dtype)
         out: PackedLinear | dict = {"w": wq} if bias is None else {"w": wq, "b": bias}
     else:
         out = pack_int_weights(
-            res.q_int.T, res.scales.T, res.zeros.T, bias, qcfg.bits, qcfg.groupsize,
+            res.q_int.T, res.scales.T, res.zeros.T, bias, qcfg.bits, gsize,
             sym=qcfg.sym,
         )
     return out, loss

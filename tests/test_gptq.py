@@ -123,3 +123,24 @@ def test_gptq_pack_roundtrip_into_kernel(rng, bits):
     x = rng.normal(size=(16, 128)).astype(np.float32)
     y = np.asarray(quant_matmul.quant_matmul_xla(jnp.asarray(x), p))
     np.testing.assert_allclose(y, x @ wq_solver, rtol=1e-4, atol=1e-4)
+
+
+def test_gptq_groupsize_clamps_to_tiny_K(rng):
+    """A layer narrower than --groupsize must clamp the group to K (same
+    rule as nn/packed.quantize_rtn) instead of crashing the solve/pack —
+    vit_tiny's 64-wide layers under the default --groupsize 128
+    (round-4 regression: sequential.quantize_linear_gptq + gptq solver)."""
+    from sam_quantization_tpu.quant import sequential
+
+    K, N = 64, 192
+    lin = {"w": jnp.asarray(rng.normal(size=(K, N)).astype(np.float32))}
+    xs = rng.normal(size=(32, K)).astype(np.float32)
+    H = jnp.asarray(2.0 * (xs.T @ xs) / len(xs) + np.eye(K, dtype=np.float32))
+    qcfg = gptq.GPTQConfig(bits=4, groupsize=128, sym=True)
+    out, loss = sequential.quantize_linear_gptq(lin, H, qcfg)
+    assert isinstance(out, packed.PackedLinear)
+    assert out.groupsize == K  # clamped
+    wq = np.asarray(packed.dequantize(out))
+    # sane reconstruction: closer to w than an all-zeros "solution"
+    err = np.linalg.norm(wq - np.asarray(lin["w"]))
+    assert err < 0.5 * np.linalg.norm(np.asarray(lin["w"]))
