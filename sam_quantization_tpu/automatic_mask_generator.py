@@ -210,9 +210,11 @@ class SamAutomaticMaskGenerator:
         if not keep.all():
             data.filter(keep)
         data["masks"] = amg_utils.uncrop_masks(data["masks"], crop_box, orig_h, orig_w)
+        # threaded C++ batch encode — the per-mask loop was the dominant
+        # AMG host stage (tools/amg_bench.py round 4)
+        counts = native.rle_encode_batch(np.asarray(data["masks"], np.uint8))
         data["rles"] = [
-            {"size": [orig_h, orig_w], "counts": native.rle_encode(m)}
-            for m in data["masks"]
+            {"size": [orig_h, orig_w], "counts": c} for c in counts
         ]
         del data["masks"]
         return data

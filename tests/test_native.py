@@ -54,3 +54,22 @@ def test_pack_matches_jnp(lib, rng):
         w, np.ones((1, N), np.float32), np.zeros((1, N), np.float32), None, bits, 0
     )
     np.testing.assert_array_equal(got, np.asarray(ref.qweight))
+
+
+def test_rle_encode_batch_matches_single_and_fallback():
+    """Threaded batch RLE (round 4): parity with the single-mask path and
+    the numpy fallback, including the small-cap overflow retry (noisy
+    masks exceed the 8192-count capacity) and non-0/1 input values."""
+    from sam_quantization_tpu.utils import amg
+
+    rng = np.random.RandomState(7)
+    blobs = np.zeros((5, 300, 200), np.uint8)
+    yy, xx = np.mgrid[:300, :200]
+    for i in range(4):
+        blobs[i][(yy - 50 * i - 20) ** 2 + (xx - 40 * i - 20) ** 2 < 900] = 255
+    blobs[4] = (rng.rand(300, 200) > 0.5) * 7  # overflow-retry path
+    got = native.rle_encode_batch(blobs)
+    for i, m in enumerate(blobs):
+        b = (m != 0).astype(np.uint8)
+        assert got[i] == native.rle_encode(b), i
+        assert got[i] == amg.mask_to_rle(b)["counts"], i

@@ -1,0 +1,197 @@
+"""AMG ("segment everything") end-to-end throughput on one chip.
+
+The reference's headline workflows are the click loop (decoder_bench.py
+times it) and the automatic mask generator grid sweep (scripts/amg.py) —
+this tool times the latter's pipeline stages and composes a masks/s and
+images/s figure for the grid sizes the reference uses.
+
+Stages, each timed the relay-honest way (device stages as scanned
+single-dispatch programs; host stages directly):
+
+  encoder     one image -> embedding (int8 serving or bf16)
+  decode      one 64-prompt AMG batch: prompt-encode + mask decode +
+              full-res upsample + threshold + stability score + boxes
+              (everything _process_batch runs on device, as ONE program)
+  transfer    the bool mask batch device->host copy (reported separately:
+              through the axon tunnel this is tunnel-bandwidth-bound and
+              NOT representative of a chip-local host)
+  host        RLE encode + box NMS per batch (csrc/samq_runtime.cpp)
+
+Composed: images/s at points_per_side 16/32 = 1 / (encoder + nb * (decode
++ host)), nb = ceil(pps^2 / 64). Run:
+
+  python tools/amg_bench.py [--model vit_b] [--no-int8]
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="vit_b")
+    ap.add_argument("--reps", type=int, default=16)
+    ap.add_argument("--outer", type=int, default=4)
+    ap.add_argument("--pbatch", type=int, default=64)
+    ap.add_argument("--no-int8", action="store_true",
+                    help="bf16 encoder instead of the int8 serving mode")
+    args = ap.parse_args()
+
+    from sam_quantization_tpu import native
+    from sam_quantization_tpu.models import image_encoder, sam as sam_lib
+    from sam_quantization_tpu.models.build_sam import sam_model_registry
+    from sam_quantization_tpu.nn.packed import cache_int8, default_serve_skip
+    from sam_quantization_tpu.quant import gptq, sequential
+    from sam_quantization_tpu.utils import amg as amg_utils
+
+    model = sam_model_registry[args.model]()
+    model = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        model,
+    )
+    ecfg = model.config.image_encoder
+    enc_params = model.image_encoder
+    tag = "bf16"
+    if not args.no_int8:
+        qcfg = gptq.GPTQConfig(bits=4, groupsize=128, sym=True)
+        qp = sequential.rtn_quantize_encoder(enc_params, qcfg)
+        from sam_quantization_tpu.nn.packed import expand_act_scales
+
+        scales = expand_act_scales(
+            qp, {"attn.qkv": 8.0, "attn.proj": 8.0, "mlp.lin1": 8.0,
+                 "mlp.lin2": 8.0},
+        )
+        enc_params = cache_int8(
+            qp, act_scales=scales, skip=default_serve_skip(ecfg.embed_dim)
+        )
+        tag = "int8-serving"
+
+    S = ecfg.img_size
+    x = jnp.zeros((1, S, S, 3), jnp.bfloat16)
+
+    # --- encoder: scanned distinct inputs, one dispatch --------------------
+    @jax.jit
+    def enc_scan(xs):
+        def body(acc, xi):
+            e = image_encoder.apply(enc_params, xi, ecfg)
+            return acc + jnp.mean(e), e
+
+        acc, es = jax.lax.scan(body, jnp.float32(0), xs)
+        return acc, es[-1]
+
+    xs = jnp.stack([x + jnp.bfloat16(1e-3 * (i + 1)) for i in range(args.reps)])
+    acc, emb = enc_scan(xs)
+    np.asarray(acc)
+    times = []
+    for _ in range(args.outer):
+        t0 = time.perf_counter()
+        np.asarray(enc_scan(xs)[0])
+        times.append(time.perf_counter() - t0)
+    enc_ms = min(times) / args.reps * 1e3
+    print(f"[amg] encoder ({tag}): {enc_ms:.2f} ms/img", flush=True)
+
+    # --- decode pipeline: one AMG batch as ONE program ---------------------
+    P = args.pbatch
+    thr = float(model.config.mask_threshold)
+    off = 1.0  # stability_score_offset default
+
+    def batch_pipeline(features, coords, labels):
+        low_res, iou = sam_lib.decode_masks(
+            model, features, points=(coords, labels), multimask_output=True
+        )
+        masks = sam_lib.postprocess_masks(model, low_res, (S, S), (S, S))
+        masks = masks.reshape(-1, S, S)
+        stab_hi = jnp.sum(masks > (thr + off), axis=(1, 2))
+        stab_lo = jnp.sum(masks > (thr - off), axis=(1, 2))
+        stability = stab_hi / jnp.maximum(stab_lo, 1)
+        binm = masks > thr
+        rows = jnp.any(binm, axis=2)
+        cols = jnp.any(binm, axis=1)
+        idx = jnp.arange(S)
+        x0 = jnp.min(jnp.where(cols, idx, S), axis=1)
+        x1 = jnp.max(jnp.where(cols, idx, -1), axis=1)
+        y0 = jnp.min(jnp.where(rows, idx, S), axis=1)
+        y1 = jnp.max(jnp.where(rows, idx, -1), axis=1)
+        boxes = jnp.stack([x0, y0, x1, y1], axis=-1)
+        return binm, iou.reshape(-1), stability, boxes
+
+    rng = np.random.RandomState(0)
+    base = rng.rand(P, 2, 2).astype(np.float32) * S
+    coords = jnp.asarray(base)
+    labels = jnp.concatenate(
+        [jnp.ones((P, 1), jnp.float32), -jnp.ones((P, 1), jnp.float32)], -1
+    )
+
+    @jax.jit
+    def decode_scan(features, coords):
+        def body(acc, i):
+            binm, iou, stab, boxes = batch_pipeline(
+                features, coords + i.astype(jnp.float32), labels
+            )
+            return acc + jnp.sum(iou) + jnp.mean(stab) + jnp.sum(boxes) * 1e-6 \
+                + jnp.mean(binm.astype(jnp.float32)), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(args.reps))
+        return acc
+
+    np.asarray(decode_scan(emb, coords))
+    times = []
+    for _ in range(args.outer):
+        t0 = time.perf_counter()
+        np.asarray(decode_scan(emb, coords))
+        times.append(time.perf_counter() - t0)
+    dec_ms = min(times) / args.reps * 1e3
+    print(f"[amg] decode batch (P={P}, 3 masks each, full-res pipeline): "
+          f"{dec_ms:.2f} ms", flush=True)
+
+    # --- one real transfer (tunnel-bound here; PCIe-bound in deployment) ---
+    pipe = jax.jit(batch_pipeline)
+    binm, iou, stab, boxes = pipe(emb, coords, labels)
+    jax.block_until_ready(binm)
+    t0 = time.perf_counter()
+    masks_np = np.asarray(binm)
+    iou_np, stab_np, boxes_np = (np.asarray(v) for v in (iou, stab, boxes))
+    xfer_ms = (time.perf_counter() - t0) * 1e3
+    print(f"[amg] mask transfer ({masks_np.nbytes >> 20} MB bool): "
+          f"{xfer_ms:.1f} ms (axon tunnel — see docstring)", flush=True)
+
+    # --- host postprocess: RLE + NMS on the real batch ---------------------
+    t0 = time.perf_counter()
+    rles = native.rle_encode_batch(masks_np.astype(np.uint8))
+    keep = native.box_nms(boxes_np.astype(np.float32),
+                          iou_np.astype(np.float32), 0.7)
+    host_ms = (time.perf_counter() - t0) * 1e3
+    print(f"[amg] host postprocess (RLE x{len(rles)} + NMS, keep "
+          f"{len(keep)}): {host_ms:.1f} ms", flush=True)
+
+    out = {"model": args.model, "mode": tag, "encoder_ms": round(enc_ms, 2),
+           "decode_batch_ms": round(dec_ms, 2),
+           "host_batch_ms": round(host_ms, 2),
+           "transfer_batch_ms_tunnel": round(xfer_ms, 1)}
+    for pps in (16, 32):
+        nb = math.ceil(pps * pps / P)
+        img_s = 1e3 / (enc_ms + nb * (dec_ms + host_ms))
+        out[f"amg_images_per_s_pps{pps}"] = round(img_s, 3)
+        out[f"amg_masks_per_s_pps{pps}"] = round(img_s * pps * pps * 3, 1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
