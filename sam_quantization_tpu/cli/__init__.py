@@ -25,11 +25,19 @@ def apply_platform(args) -> None:
     if platform:
         import jax
 
-        if platform == "tpu" and jax.default_backend() == "tpu":
-            # Already on a TPU-class backend. Do NOT force the platform
-            # name: remote-TPU plugins register under their own name
-            # (e.g. 'axon') while still reporting default_backend()=='tpu',
-            # and pinning jax_platforms='tpu' there fails at first use
-            # with "No jellyfish device found".
+        if platform == "tpu":
+            # Do NOT force the platform name: remote-TPU plugins register
+            # under their own name (e.g. 'axon') while still reporting
+            # default_backend()=='tpu', and pinning jax_platforms='tpu'
+            # there fails at first use with "No jellyfish device found".
+            # The default_backend() probe also initializes and caches the
+            # backend set, which would make a later config update a silent
+            # no-op — so when no TPU-class backend exists, fail LOUDLY
+            # here instead of silently benchmarking on CPU.
+            if jax.default_backend() != "tpu":
+                raise RuntimeError(
+                    "--platform tpu: no TPU-class backend available "
+                    f"(default backend is {jax.default_backend()!r})"
+                )
             return
         jax.config.update("jax_platforms", platform)

@@ -104,6 +104,15 @@ def _use_exp2() -> bool:
 #     <= 2^(FLOOR - s_max) of any in-range row — noise below bf16
 #     resolution. bf16/f32 are floating, so the tiny absolute magnitudes
 #     of p lose no RELATIVE precision vs the max-subtracted form.
+#   * Known tail risk (reviewed, accepted): a row whose logits ALL sit
+#     below the floor (raw q·k+bias < -41.6 for every key — broken
+#     activation calibration or far-OOD inputs; unreachable on the
+#     validated checkpoints) flattens to near-uniform attention (and its
+#     padded-column share shrinks the windowed output by up to Lp/L-1
+#     ≈ 12.5%) instead of the row-max form's exact softmax. The f32
+#     exponent range admits no static floor that both prevents 1/0 and
+#     preserves >124-log2-unit rows; SAMQ_FLASH_CLAMP=0 restores the
+#     exact form at the measured ~0.3 ms/block cost.
 _CLAMP_CAP2, _CLAMP_FLOOR2 = 64.0, -60.0
 _CLAMP_CAPE, _CLAMP_FLOORE = 64.0 / LOG2E, -60.0 / LOG2E
 
@@ -418,8 +427,14 @@ def flash_attention_qkv_packed(
     # L=196 to Lp=224 instead of 256 — 12.5% fewer q·k rows, softmax
     # elements and p·v rows; measured 0.180 vs 0.201 ms/block at the ViT-H
     # serving shape (round-4 sweep; align 64 ties 128 since it re-rounds
-    # 196 to 256). Sweep gate: SAMQ_PACKED_LP.
-    lp_align = _env_int("SAMQ_PACKED_LP") or 32
+    # 196 to 256). Measured COMPILE matrix (v5e Mosaic): Lp=224 builds at
+    # ViT-H (hd=80, nh=16) and ViT-B (hd=64, nh=12) but blows the 16 MB
+    # scoped-vmem limit at ViT-L's hd=64 × nh=16 for every clamp/hsplit
+    # combination, while Lp=256 compiles and matches ViT-H's speed there
+    # (0.157 ms/block) — so the tight padding engages only on the
+    # measured-safe shapes. Sweep gate: SAMQ_PACKED_LP.
+    safe_224 = hd >= 80 or nh * hd <= 768
+    lp_align = _env_int("SAMQ_PACKED_LP") or (32 if safe_224 else 128)
     Lp = _round_up(L, lp_align)
     if Lp != L:
         rel = jnp.pad(rel, ((0, 0), (0, 0), (0, Lp - L), (0, 0)))
@@ -454,10 +469,11 @@ def flash_attention_qkv_packed(
     # VPU/MXU overlap. Default 1 unless measured otherwise — sweep with
     # SAMQ_PACKED_HSPLIT / hsplit_override (trace-time gate, see note).
     hsplit = 1
-    if hsplit_override is not None and nh % hsplit_override == 0:
+    if (hsplit_override is not None and hsplit_override > 0
+            and nh % hsplit_override == 0):
         hsplit = hsplit_override
     env_hs = _env_int("SAMQ_PACKED_HSPLIT")
-    if env_hs and nh % env_hs == 0:
+    if env_hs and env_hs > 0 and nh % env_hs == 0:
         hsplit = env_hs
     out = _fused_attention_qkv_packed(
         qkv, rel, out_inv_scale, nh=nh, hd=hd, L=L, kh=kh, kw=kw,
@@ -772,9 +788,11 @@ def flash_attention_relpos(
         if env_bq and Lp % env_bq == 0:
             block_q = env_bq
         env_hv = _env_int("SAMQ_GLOBAL_HALVES")  # trace-time sweep gate
-        if env_hv and block_q % env_hv == 0:
+        if env_hv and env_hv > 0 and block_q % env_hv == 0:
             halves = env_hv
-        if block_q % halves or (block_q // halves) % 8:
+        if halves < 1 or block_q % halves or (block_q // halves) % 8:
+            # a non-positive or non-dividing halves would leave the kernel's
+            # range(halves) loops empty — o_ref never written, silent garbage
             halves = 1
         # No lane padding: Pallas accepts full-dim trailing blocks (hd=80,
         # kh/kw=64), the MXU pads registers internally, and skipping the
