@@ -259,6 +259,37 @@ def attention(
             and jax.default_backend() == "tpu"
         )
     )
+    if (
+        attn_impl == "flash_train"
+        and sp is None
+        and tp_active is None
+        and cfg.use_rel_pos
+        and L <= 512
+    ):
+        # Training path: flash kernel forward + exact eager-recompute vjp
+        # (ops/flash_attention.flash_attention_relpos_trainable) for the
+        # windowed blocks; global (L > 512) blocks fall through to eager,
+        # whose backward materializes the (nh, L, L) logits either way.
+        from sam_quantization_tpu.ops import flash_attention
+
+        qkv5 = qkv.reshape(B, L, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv5[0], qkv5[1], qkv5[2]  # (B, nh, L, hd)
+        q2 = q.reshape(B * nh, L, hd)
+        rel_h, rel_w = decomposed_rel_pos_tiles(
+            q2, p["rel_pos_h"], p["rel_pos_w"], (H, W), (H, W)
+        )
+        out = flash_attention.flash_attention_relpos_trainable(
+            q, k, v,
+            rel_h.reshape(B, nh, L, H), rel_w.reshape(B, nh, L, W),
+            hd**-0.5,
+        )
+        x = out.reshape(B, nh, H, W, hd).transpose(0, 2, 3, 1, 4).reshape(
+            B, H, W, C
+        )
+        x = ctx.act(f"{path}.qact2", x)
+        x = ctx.linear(f"{path}.proj", p["proj"], x)
+        return ctx.act(f"{path}.qact3", x)
+
     if use_flash and sp is None and L <= 512 and cfg.use_rel_pos:
         # Packed-qkv windowed kernel: heads are sliced out of the projection
         # output by BlockSpec index maps and the rel-pos augmentation happens

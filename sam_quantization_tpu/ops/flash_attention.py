@@ -848,6 +848,71 @@ def flash_attention_relpos(
     return out[:, :L, :hd].reshape(B, nh, L, hd)
 
 
+@functools.lru_cache(maxsize=None)
+def _trainable_flash(scale: float, has_rel: bool, interpret: bool):
+    """custom_vjp flash attention: Pallas kernel forward, exact eager
+    backward (recompute). The kernels have no reverse-mode rule, so
+    training pinned eager attention for the whole encoder (trainer.py
+    round 3); this gives the forward pass the kernel's speed while the
+    backward differentiates :func:`attention_reference` on recomputed
+    activations — the grads are exactly the eager function's, the
+    standard recompute formulation of flash-attention training. Global
+    (L > 512) blocks should stay eager under grad: their backward
+    materializes the (nh, L, L) logits either way, so the kernel buys
+    nothing and the residual memory doubles."""
+
+    if has_rel:
+        @jax.custom_vjp
+        def f(q, k, v, rel_h, rel_w):
+            return flash_attention_relpos(
+                q, k, v, rel_h, rel_w, scale, interpret=interpret
+            )
+
+        def fwd(q, k, v, rel_h, rel_w):
+            return f(q, k, v, rel_h, rel_w), (q, k, v, rel_h, rel_w)
+
+        def bwd(res, g):
+            q, k, v, rel_h, rel_w = res
+            _, vjp = jax.vjp(
+                lambda *a: attention_reference(*a, scale), q, k, v, rel_h,
+                rel_w,
+            )
+            return vjp(g)
+
+        f.defvjp(fwd, bwd)
+        return f
+
+    @jax.custom_vjp
+    def fnr(q, k, v):
+        return flash_attention_relpos(
+            q, k, v, None, None, scale, interpret=interpret
+        )
+
+    def fwd_nr(q, k, v):
+        return fnr(q, k, v), (q, k, v)
+
+    def bwd_nr(res, g):
+        q, k, v = res
+        _, vjp = jax.vjp(
+            lambda q, k, v: attention_reference(q, k, v, None, None, scale),
+            q, k, v,
+        )
+        return vjp(g)
+
+    fnr.defvjp(fwd_nr, bwd_nr)
+    return fnr
+
+
+def flash_attention_relpos_trainable(
+    q, k, v, rel_h, rel_w, scale, *, interpret: bool = False
+):
+    """Differentiable entry point: kernel forward, eager-recompute vjp."""
+    fn = _trainable_flash(float(scale), rel_h is not None, interpret)
+    if rel_h is not None:
+        return fn(q, k, v, rel_h, rel_w)
+    return fn(q, k, v)
+
+
 def attention_reference(q, k, v, rel_h, rel_w, scale):
     """Eager reference for parity tests (pattern of the reference's own
     kernel self-test, gptq_triton/fused_attention.py:363-418)."""

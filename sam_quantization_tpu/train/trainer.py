@@ -97,10 +97,14 @@ def click_train_loss(
     cfg = model.config
     B = images.shape[0]
     x = sam_lib.preprocess(model, images)
-    # xla attention: the Pallas flash kernels have no reverse-mode rule, and
-    # training needs gradients through the encoder (flash stays the
-    # inference path)
-    emb = sam_lib.encode_image(model, x, attn_impl="xla")
+    # flash_train on TPU: kernel forward + exact eager-recompute vjp for
+    # the windowed blocks (ops/flash_attention.flash_attention_relpos_
+    # trainable); global blocks and non-TPU backends stay eager, whose
+    # backward is the same math either way.
+    import jax as _jax
+
+    impl = "flash_train" if _jax.default_backend() == "tpu" else "xla"
+    emb = sam_lib.encode_image(model, x, attn_impl=impl)
 
     S = cfg.image_encoder.img_size
     h4 = S // 4

@@ -428,3 +428,52 @@ def test_flash_clamp_never_nan():
         -q, k, v, rel_h, rel_w, hd**-0.5, interpret=True, bias3d=True
     )
     assert np.isfinite(np.asarray(out2, np.float32)).all()
+
+
+def test_flash_train_grads_match_eager():
+    """flash_attention_relpos_trainable: kernel forward, eager-recompute
+    vjp — gradients must be EXACTLY the eager function's (same vjp), and
+    the primal must match the kernel's usual tolerance."""
+    from sam_quantization_tpu.ops.flash_attention import (
+        flash_attention_relpos_trainable,
+    )
+
+    q, k, v, rel_h, rel_w = _mk(17, 2, 2, 196, 64, 14, 14)
+    w = jax.random.normal(jax.random.PRNGKey(9), q.shape)
+
+    def loss_flash(q, k, v, rh, rw):
+        o = flash_attention_relpos_trainable(
+            q, k, v, rh, rw, 64**-0.5, interpret=True
+        )
+        return jnp.sum(o * w)
+
+    def loss_eager(q, k, v, rh, rw):
+        return jnp.sum(attention_reference(q, k, v, rh, rw, 64**-0.5) * w)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3, 4))(q, k, v, rel_h, rel_w)
+    ge = jax.grad(loss_eager, argnums=(0, 1, 2, 3, 4))(q, k, v, rel_h, rel_w)
+    for a, b in zip(gf, ge):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # primal parity (kernel vs eager)
+    np.testing.assert_allclose(
+        float(loss_flash(q, k, v, rel_h, rel_w)),
+        float(loss_eager(q, k, v, rel_h, rel_w)),
+        rtol=2e-2,
+    )
+    # no-rel variant
+    gf2 = jax.grad(
+        lambda q, k, v: jnp.sum(
+            flash_attention_relpos_trainable(
+                q, k, v, None, None, 0.125, interpret=True
+            )
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    ge2 = jax.grad(
+        lambda q, k, v: jnp.sum(
+            attention_reference(q, k, v, None, None, 0.125)
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(gf2, ge2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -46,8 +46,11 @@ def main(argv=None):
     args = parse_args(argv)
     import jax
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    from sam_quantization_tpu.cli import apply_platform
+
+    # shared helper: handles remote-TPU plugins whose platform name is not
+    # 'tpu' (cli/__init__.apply_platform)
+    apply_platform(args)
     import jax.numpy as jnp
     import numpy as np
 
