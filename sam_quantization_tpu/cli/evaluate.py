@@ -18,7 +18,11 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--load", default=None, help="quantized artifact dir")
     p.add_argument("--datasets", default="synthetic",
-                   help="comma list: synthetic,SBD,<folder-name>")
+                   help="comma list: synthetic,GrabCut,Berkeley,DAVIS,"
+                        "COCO_MVal,PascalVOC,SBD,<folder-name> (named "
+                        "benchmarks resolve their path from config.yml "
+                        "unless --dataset-path overrides; flag parity with "
+                        "scripts/evaluate_model.py --datasets)")
     p.add_argument("--dataset-path", default=None)
     p.add_argument("--n-clicks", type=int, default=20)
     p.add_argument("--thresh", type=float, default=0.5)
@@ -38,7 +42,7 @@ def main(argv=None):
     apply_platform(args)
 
     from sam_quantization_tpu.data.datasets import (
-        ImageMaskDataset, SBDDataset, preprocess_for_eval,
+        ImageMaskDataset, get_dataset, preprocess_for_eval,
     )
     from sam_quantization_tpu.data.synthetic import synthetic_samples
     from sam_quantization_tpu.evaluation import click_eval, metrics
@@ -88,20 +92,15 @@ def main(argv=None):
         if name == "synthetic":
             def samples():
                 yield from synthetic_samples(args.num_samples, size, 0)
-        elif name.upper() == "SBD":
-            ds = SBDDataset(args.dataset_path, split="val")
-
-            def samples():
-                n = 0
-                for img, gt, _ in ds.eval_items():
-                    yield preprocess_for_eval(img, gt, size)
-                    n += 1
-                    if n >= args.num_samples:
-                        return
         else:
-            ds = ImageMaskDataset(args.dataset_path)
+            # named benchmark registry (GrabCut/Berkeley/DAVIS/COCO_MVal/
+            # PascalVOC/SBD — ref inference/utils.py:48-66), else a generic
+            # images/+masks/ folder at --dataset-path
+            ds = get_dataset(name, args.dataset_path)
+            if ds is None:
+                ds = ImageMaskDataset(args.dataset_path)
 
-            def samples():
+            def samples(ds=ds):
                 n = 0
                 for img, gt, _ in ds.eval_items():
                     yield preprocess_for_eval(img, gt, size)

@@ -144,11 +144,19 @@ class ImageMaskDataset(ISDataset):
     """GrabCut/Berkeley/DAVIS-style folder pairs: images/ + masks/
     (ref inference-utils dataset family used by scripts/evaluate_model.py)."""
 
-    def __init__(self, dataset_path: str, images_dir="images", masks_dir="masks", **kw):
+    def __init__(
+        self,
+        dataset_path: str,
+        images_dir="images",
+        masks_dir="masks",
+        mask_thresh: int = 127,
+        **kw,
+    ):
         super().__init__(**kw)
         root = Path(dataset_path)
         self._images = sorted((root / images_dir).glob("*.*"))
         self._masks_dir = root / masks_dir
+        self._mask_thresh = mask_thresh
         self.dataset_samples = [p.stem for p in self._images]
 
     def get_sample(self, index: int) -> DSample:
@@ -158,8 +166,114 @@ class ImageMaskDataset(ISDataset):
         mask = _imread(str(mask_candidates[0]))
         if mask.ndim == 3:
             mask = mask[..., 0]
-        inst = (mask > 127).astype(np.int32)
+        inst = (mask > self._mask_thresh).astype(np.int32)
         return DSample(image, inst, objects_ids=[1], sample_id=index)
+
+
+class GrabCutDataset(ImageMaskDataset):
+    """GrabCut benchmark: ``data_GT/`` images + ``boundary_GT/`` trimaps
+    (0 = bg, 128 = uncertain boundary ring, 255 = fg). Counterpart of the
+    RITM-lineage ``GrabCutDataset`` the reference's eval driver names
+    (inference/utils.py:49-50) but does not ship in-tree. The uncertain ring
+    maps to background — the click evaluators use a binary gt
+    (script/evaluation2.py:316-326), so only the 255 region counts as
+    object."""
+
+    def __init__(self, dataset_path: str, **kw):
+        kw.setdefault("images_dir", "data_GT")
+        kw.setdefault("masks_dir", "boundary_GT")
+        kw.setdefault("mask_thresh", 200)
+        super().__init__(dataset_path, **kw)
+
+
+class BerkeleyDataset(ImageMaskDataset):
+    """Berkeley benchmark: ``images/`` + ``masks/`` binary pairs
+    (ref inference/utils.py:51-52)."""
+
+    def __init__(self, dataset_path: str, **kw):
+        super().__init__(dataset_path, **kw)
+
+
+class DavisDataset(ImageMaskDataset):
+    """DAVIS-345 benchmark frames: ``img/`` + ``gt/`` binary pairs
+    (ref inference/utils.py:53-54)."""
+
+    def __init__(self, dataset_path: str, **kw):
+        kw.setdefault("images_dir", "img")
+        kw.setdefault("masks_dir", "gt")
+        super().__init__(dataset_path, **kw)
+
+
+class CocoMvalDataset(DavisDataset):
+    """COCO_MVal benchmark — the reference evaluates it through the DAVIS
+    folder layout (``img``/``gt``; inference/utils.py:61-62)."""
+
+
+class PascalVocDataset(ISDataset):
+    """PascalVOC instance-segmentation eval split: VOC2012 layout
+    (``JPEGImages/`` + ``SegmentationObject/`` + ``ImageSets/Segmentation``)
+    with per-instance ids; 255 is the VOC ignore boundary, dropped to
+    background (ref inference/utils.py:59-60 names PascalVocDataset)."""
+
+    def __init__(self, dataset_path: str, split: str = "val", **kw):
+        super().__init__(**kw)
+        root = Path(dataset_path)
+        self._images_path = root / "JPEGImages"
+        self._insts_path = root / "SegmentationObject"
+        list_file = root / "ImageSets" / "Segmentation" / f"{split}.txt"
+        if list_file.is_file():
+            names = [x.strip() for x in list_file.read_text().splitlines() if x.strip()]
+        else:  # fall back to whatever masks exist
+            names = sorted(p.stem for p in self._insts_path.glob("*.png"))
+        self.dataset_samples = names
+
+    def get_sample(self, index: int) -> DSample:
+        name = self.dataset_samples[index]
+        image = _imread(str(self._images_path / f"{name}.jpg"))
+        mask = _read_index_mask(str(self._insts_path / f"{name}.png"))
+        mask = mask.astype(np.int32)
+        mask[mask == 255] = 0  # VOC ignore boundary
+        ids, _ = get_labels_with_sizes(mask)
+        return DSample(image, mask, objects_ids=ids, sample_id=index)
+
+
+def _read_index_mask(path: str) -> np.ndarray:
+    """Palette-indexed PNG → label ids (no RGB conversion)."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return np.asarray(Image.open(path))
+    except ImportError:
+        m = _imread(path)
+        return m[..., 0] if m.ndim == 3 else m
+
+
+def get_dataset(name: str, dataset_path: Optional[str] = None, cfg=None):
+    """Named benchmark registry — flag parity with the reference's
+    ``utils.get_dataset`` (inference/utils.py:48-66) + config.yml paths.
+
+    ``dataset_path`` overrides the registry; otherwise the path comes from
+    ``utils.config`` (GRABCUT_PATH/BERKELEY_PATH/DAVIS_PATH/...).
+    """
+    from sam_quantization_tpu.utils import config as config_lib
+
+    if cfg is None:
+        cfg = config_lib.load_config()
+    key = name.upper()
+    factories = {
+        "GRABCUT": GrabCutDataset,
+        "BERKELEY": BerkeleyDataset,
+        "DAVIS": DavisDataset,
+        "COCO_MVAL": CocoMvalDataset,
+        "PASCALVOC": lambda p: PascalVocDataset(p, split="val"),
+        "SBD": lambda p: SBDDataset(p, split="val"),
+        "SBD_TRAIN": lambda p: SBDDataset(p, split="train"),
+        "SA1B": SA1BDataset,
+    }
+    if key not in factories:
+        return None
+    path = dataset_path or config_lib.dataset_path(cfg, name)
+    return factories[key](path)
 
 
 class SA1BDataset(ISDataset):

@@ -265,6 +265,12 @@ def attention(
         and tp_active is None
         and cfg.use_rel_pos
         and L <= 512
+        # Same guards as the inference flash branch: a fake-quant ctx needs
+        # its qact_attn1/rel_pos_qact/softmax observation hooks (only the
+        # eager path has them), and the Pallas kernels are TPU-only — a CPU
+        # backend would fail inside the kernel (advisor round-4 finding).
+        and type(ctx) is type(NULL_CTX)
+        and jax.default_backend() == "tpu"
     ):
         # Training path: flash kernel forward + exact eager-recompute vjp
         # (ops/flash_attention.flash_attention_relpos_trainable) for the

@@ -127,11 +127,20 @@ def rle_encode_batch(masks: np.ndarray) -> list:
     cap = 8192
     out = np.empty((n, cap), np.int64)
     lens = np.empty(n, np.int64)
-    rc = lib.rle_encode_batch(
-        _ptr(masks, ctypes.c_uint8), n, h, w, _ptr(out, ctypes.c_int64),
-        cap, _ptr(lens, ctypes.c_int64), 0,
-    )
-    assert rc in (0, -1)
+    try:
+        rc = lib.rle_encode_batch(
+            _ptr(masks, ctypes.c_uint8), n, h, w, _ptr(out, ctypes.c_int64),
+            cap, _ptr(lens, ctypes.c_int64), 0,
+        )
+        if rc not in (0, -1):
+            raise RuntimeError(f"rle_encode_batch returned rc={rc}")
+    except Exception as e:  # ABI drift / stale .so: fall back per-mask
+        print(
+            f"[samq.native] rle_encode_batch failed ({e}); falling back to "
+            f"per-mask encode (rebuild build/libsamq_runtime.so)",
+            file=sys.stderr,
+        )
+        return [rle_encode(m) for m in masks]
     return [
         out[i, : lens[i]].tolist() if lens[i] >= 0 else rle_encode(masks[i])
         for i in range(n)

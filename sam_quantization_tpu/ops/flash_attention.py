@@ -433,7 +433,11 @@ def flash_attention_qkv_packed(
     # combination, while Lp=256 compiles and matches ViT-H's speed there
     # (0.157 ms/block) — so the tight padding engages only on the
     # measured-safe shapes. Sweep gate: SAMQ_PACKED_LP.
-    safe_224 = hd >= 80 or nh * hd <= 768
+    # Bound BOTH factors: hd >= 80 alone would let an unmeasured wide model
+    # (hd=80+, nh >> 16) take tight padding and hit the same scoped-vmem
+    # compile failure ViT-L did (advisor round-4 finding). The measured-safe
+    # shapes are ViT-H (hd=80, nh*hd=1280) and ViT-B/tiny (nh*hd <= 768).
+    safe_224 = (hd >= 80 and nh * hd <= 1280) or nh * hd <= 768
     lp_align = _env_int("SAMQ_PACKED_LP") or (32 if safe_224 else 128)
     Lp = _round_up(L, lp_align)
     if Lp != L:

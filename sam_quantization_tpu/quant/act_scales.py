@@ -9,7 +9,8 @@ calibration) applied to the GPTQ/RTN serving path.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable
+import warnings
+from typing import Dict, Iterable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,14 +22,67 @@ from sam_quantization_tpu.quant.context import NullCtx
 
 
 class InputAmaxCtx(NullCtx):
-    """Records the abs-max of every linear's input."""
+    """Records the abs-max of every linear's input, plus attention-logit
+    range stats for the clamped-softmax canary (see
+    :func:`check_clamp_window`)."""
 
     def __init__(self):
         self.amax: Dict[str, jax.Array] = {}
+        # path -> (min over rows of the row-max logit, abs-max logit);
+        # observed at the eager path's post-bias point (rel_pos_qact) and
+        # pre-bias point (qact_attn1) — post-bias wins when present.
+        self.logit_stats: Dict[str, Tuple[jax.Array, jax.Array]] = {}
 
     def linear(self, path, p, x):
         self.amax[path] = jnp.max(jnp.abs(x.astype(jnp.float32)))
         return F.linear(p, x)
+
+    def act(self, path, x, ln_input=False):
+        if path.endswith("rel_pos_qact") or path.endswith("qact_attn1"):
+            xf = x.astype(jnp.float32)
+            rowmax = jnp.max(xf, axis=-1)
+            self.logit_stats[path] = (jnp.min(rowmax), jnp.max(jnp.abs(xf)))
+        return x
+
+
+def check_clamp_window(
+    min_rowmax: float, absmax: float, warn: bool = True
+) -> bool:
+    """Canary for the serving kernels' clamped softmax (advisor round-4).
+
+    The flash kernels' static-shift softmax (ops/flash_attention._psoft) is
+    exact only while every row's logits stay inside the clamp window
+    [floor, cap] (raw units ≈ [-41.6, 44.4]). A checkpoint whose calibration
+    data already leaves the window would serve with silently redefined
+    softmax semantics — warn at calibration time instead, before serving.
+    Returns True when the calibrated ranges are inside the window.
+    """
+    from sam_quantization_tpu.ops.flash_attention import (
+        _CLAMP_CAPE, _CLAMP_FLOORE,
+    )
+
+    ok = True
+    if min_rowmax < _CLAMP_FLOORE:
+        ok = False
+        if warn:
+            warnings.warn(
+                f"attention logits: a row's max logit {min_rowmax:.1f} is "
+                f"below the clamped-softmax floor {_CLAMP_FLOORE:.1f} — that "
+                f"row would flatten toward uniform under the serving "
+                f"kernels. Serve with SAMQ_FLASH_CLAMP=0 or recalibrate.",
+                stacklevel=2,
+            )
+    if absmax > _CLAMP_CAPE:
+        ok = False
+        if warn:
+            warnings.warn(
+                f"attention logit abs-max {absmax:.1f} exceeds the "
+                f"clamped-softmax cap {_CLAMP_CAPE:.1f} — out-of-range rows "
+                f"squash toward uniform under the serving kernels. Serve "
+                f"with SAMQ_FLASH_CLAMP=0 or recalibrate.",
+                stacklevel=2,
+            )
+    return ok
 
 
 def calibrate_act_scales(
@@ -36,18 +90,34 @@ def calibrate_act_scales(
     ecfg: ImageEncoderConfig,
     batches: Iterable[jax.Array],
     margin: float = 1.0,
+    clamp_canary: bool = True,
 ) -> Dict[str, float]:
-    """{linear path: amax * margin} over the calibration batches."""
+    """{linear path: amax * margin} over the calibration batches.
+
+    ``clamp_canary``: also observe the eager attention logits and warn if
+    any calibration row leaves the serving kernels' clamp window (a cheap
+    pre-serving check that the clamped softmax stays exact on data like
+    the calibration set)."""
 
     @jax.jit
     def run(params, x):
         ctx = InputAmaxCtx()
         image_encoder.apply(params, x, ecfg, ctx, attn_impl="xla")
-        return ctx.amax
+        return ctx.amax, ctx.logit_stats
 
     acc: Dict[str, float] = {}
+    min_rowmax, absmax = float("inf"), 0.0
+    post_bias_seen = False
     for x in batches:
-        out = run(params, x)
+        out, stats = run(params, x)
         for k, v in out.items():
             acc[k] = max(acc.get(k, 0.0), float(v))
+        post = {k: v for k, v in stats.items() if k.endswith("rel_pos_qact")}
+        if post:
+            post_bias_seen = True
+        for mn, mx in (post or stats).values():
+            min_rowmax = min(min_rowmax, float(mn))
+            absmax = max(absmax, float(mx))
+    if clamp_canary and absmax > 0.0 and (post_bias_seen or min_rowmax < float("inf")):
+        check_clamp_window(min_rowmax, absmax)
     return {k: v * margin for k, v in acc.items()}
