@@ -40,6 +40,10 @@ class ClickEvalResult:
     # harness (e.g. the reference's torch loop, tools/cross_validate_harness)
     # can replay the identical clicks
     clicks: Optional[List[List[Tuple[int, int, float]]]] = None
+    # per-sample per-click low-res mask logits (NCHW numpy), recorded with
+    # ``record_low_res=True`` — the teacher-forcing seam for the
+    # cross-harness cascade/numeric decomposition
+    low_res: Optional[List[List[np.ndarray]]] = None
 
     @property
     def click1(self) -> float:
@@ -88,6 +92,8 @@ def click_loop_eval(
     img_size: int = 1024,
     verbose: bool = False,
     clicks_override: Optional[List[List[Tuple[int, int, float]]]] = None,
+    point_layout: str = "literal",
+    record_low_res: bool = False,
 ) -> ClickEvalResult:
     """The 5-click random-click loop (ref evaluation2.py:225-334).
 
@@ -99,10 +105,19 @@ def click_loop_eval(
     replayed instead of the random-error-pixel rule — the cross-harness
     validation seam (identical clicks through two harnesses must agree).
     The clicks actually used are always recorded in ``result.clicks``.
+
+    ``point_layout``: "literal" (default) feeds the decoder exactly the k
+    clicks made so far, matching the reference's growing click list
+    (evaluation2.py:278-306 — the prompt encoder appends its own single pad
+    point); one decode program compiles per click count. "slots" feeds the
+    fixed ``max_points`` padded tensor — ONE compiled program for the whole
+    loop (the serving-path form; pad slots are extra attention tokens, which
+    shifts mIoU by ~0.04 on vit_tiny — CROSSVAL.json point_layout_delta).
     """
     rng = np.random.default_rng(seed)
     all_ious: List[List[float]] = []
     all_clicks: List[List[Tuple[int, int, float]]] = []
+    all_low_res: List[List[np.ndarray]] = []
     t0 = time.perf_counter()
     n = 0
     for image, gt in samples:
@@ -116,6 +131,7 @@ def click_loop_eval(
         prev_mask = np.zeros_like(gt, dtype=bool)
         ious: List[float] = []
         sample_clicks: List[Tuple[int, int, float]] = []
+        sample_low_res: List[np.ndarray] = []
         for click in range(num_clicks):
             if clicks_override is not None:
                 cy, cx, lab = clicks_override[n - 1][click]
@@ -124,16 +140,24 @@ def click_loop_eval(
             sample_clicks.append((int(cy), int(cx), float(lab)))
             coords[0, click] = (cx, cy)  # model frame is (x, y)
             labels[0, click] = lab
+            if point_layout == "literal":
+                ck, lk = coords[:, : click + 1], labels[:, : click + 1]
+            else:
+                ck, lk = coords, labels
             masks, low_res, _iou = decode(
-                emb, jnp.asarray(coords), jnp.asarray(labels), mask_input, mask_valid
+                emb, jnp.asarray(ck), jnp.asarray(lk), mask_input, mask_valid
             )
             mask_input = jnp.transpose(low_res, (0, 2, 3, 1))
             mask_valid = jnp.ones((1,), bool)
+            if record_low_res:
+                sample_low_res.append(np.asarray(low_res, np.float32))
             pred = np.asarray(masks[0, 0]) > 0
             prev_mask = pred[: gt.shape[0], : gt.shape[1]]
             ious.append(metrics.get_iou(gt, prev_mask))
         all_ious.append(ious)
         all_clicks.append(sample_clicks)
+        if record_low_res:
+            all_low_res.append(sample_low_res)
         if verbose:
             print(f"sample {n}: " + " ".join(f"{i:.3f}" for i in ious))
     elapsed = time.perf_counter() - t0
@@ -143,6 +167,7 @@ def click_loop_eval(
         per_sample_ious=all_ious,
         seconds_per_image=elapsed / max(n, 1),
         clicks=all_clicks,
+        low_res=all_low_res if record_low_res else None,
     )
 
 
@@ -194,9 +219,14 @@ def noc_eval(
     max_points: int = 24,
     img_size: int = 1024,
     pred_thr: float = 0.0,
+    point_layout: str = "literal",
 ):
     """NoC@τ evaluation with distance-transform clicks
-    (ref inference/evaluation.py:16-56 evaluate_sample + utils.py:79-96)."""
+    (ref inference/evaluation.py:16-56 evaluate_sample + utils.py:79-96).
+
+    ``point_layout``: see :func:`click_loop_eval` — "literal" (default)
+    matches the reference's growing click list; "slots" keeps one compiled
+    decode program."""
     all_ious = []
     t0 = time.perf_counter()
     n = 0
@@ -213,11 +243,17 @@ def noc_eval(
         ious = []
         for k in range(max_clicks):
             clicker.make_next_click(pred)
+            nk = 0
             for i, c in enumerate(clicker.get_clicks()[:max_points]):
                 coords[0, i] = (c.coords[1], c.coords[0])
                 labels[0, i] = 1.0 if c.is_positive else 0.0
+                nk = i + 1
+            if point_layout == "literal":
+                ck, lk = coords[:, :nk], labels[:, :nk]
+            else:
+                ck, lk = coords, labels
             masks, low_res, _ = decode(
-                emb, jnp.asarray(coords), jnp.asarray(labels), mask_input, mask_valid
+                emb, jnp.asarray(ck), jnp.asarray(lk), mask_input, mask_valid
             )
             mask_input = jnp.transpose(low_res, (0, 2, 3, 1))
             mask_valid = jnp.ones((1,), bool)

@@ -71,15 +71,24 @@ def test_click_harness_agrees_with_reference_torch_loop():
 
     sd = build_sam.to_torch_state_dict(model)
     tsam = torch_harness.build_reference_torch_sam(cfg, sd)
+    # fork-behavior oracle first (as-committed reference, incl. its rel_w
+    # broadcast-matmul bug — install_upstream_rel_pos docstring): the gap
+    # must be small but NONZERO (it measures the fork bug, ~1.6e-3 at 24
+    # samples in CROSSVAL.json)
+    theirs_fork = np.asarray(torch_harness.reference_click_loop(
+        tsam, samples, ours.clicks, num_clicks=3
+    )).mean(axis=0)
+    gap_fork = np.max(np.abs(np.asarray(ours.mean_ious) - theirs_fork))
+    assert gap_fork < 1e-2, (ours.mean_ious, theirs_fork.tolist())
+    # upstream-intent oracle (the einsum rel_w the fork commented out,
+    # which this framework implements): agreement is essentially exact
+    torch_harness.install_upstream_rel_pos()
     theirs = torch_harness.reference_click_loop(
-        tsam, samples, ours.clicks, num_clicks=3, point_layout="slots"
+        tsam, samples, ours.clicks, num_clicks=3
     )
     theirs_mean = np.asarray(theirs).mean(axis=0)
     gap = np.max(np.abs(np.asarray(ours.mean_ious) - theirs_mean))
-    # fp32 boundary pixels differ slightly between stacks; at 8 samples the
-    # mean-IoU gap stays within a few 1e-3 (5.2e-4 at the 24-sample run
-    # recorded in CROSSVAL.json)
-    assert gap < 5e-3, (ours.mean_ious, theirs_mean.tolist())
+    assert gap < 1e-3, (ours.mean_ious, theirs_mean.tolist())
 
 
 @requires_reference

@@ -76,17 +76,33 @@ def main(argv=None):
         for img, gt in synthetic_samples(args.samples, size, seed=9999)
     ]
 
+    # our harness defaults to the reference's LITERAL growing click list
+    # (evaluation2.py:278-306) — the layout question from VERDICT r3/r4 is
+    # resolved by matching the reference's semantics, and the slots form
+    # (one compiled decode program; the serving layout) is quantified below.
     encode, decode = click_eval.make_sam_backend(model)
     ours = click_eval.click_loop_eval(
         encode, decode, samples, num_clicks=args.num_clicks,
-        img_size=size, seed=123,
+        img_size=size, seed=123, record_low_res=True,
     )
-    print("ours  (JAX harness):", [f"{v:.4f}" for v in ours.mean_ious])
+    print("ours  (JAX harness, literal):", [f"{v:.4f}" for v in ours.mean_ious])
 
     sd = build_sam.to_torch_state_dict(model)
     tsam = torch_harness.build_reference_torch_sam(cfg, sd)
+    # Fork-behavior pass FIRST (the as-committed reference, including its
+    # rel_w broadcast-matmul bug — torch_harness.install_upstream_rel_pos
+    # docstring): its delta vs the corrected oracle attributes the residual.
+    fork_ious = torch_harness.reference_click_loop(
+        tsam, samples, ours.clicks, num_clicks=args.num_clicks,
+        point_layout="literal",
+    )
+    theirs_fork = np.asarray(fork_ious).mean(axis=0)
+    print("theirs (fork rel_w bug)     :", [f"{v:.4f}" for v in theirs_fork])
+    # Upstream-intent oracle for all remaining passes: the einsum rel_w the
+    # fork commented out, which this framework implements.
+    torch_harness.install_upstream_rel_pos()
     theirs = {}
-    for layout in ("slots", "literal"):
+    for layout in ("literal", "slots"):
         ious = torch_harness.reference_click_loop(
             tsam, samples, ours.clicks, num_clicks=args.num_clicks,
             point_layout=layout,
@@ -94,23 +110,75 @@ def main(argv=None):
         theirs[layout] = np.asarray(ious).mean(axis=0)
         print(f"theirs (ref torch, {layout:7s}):",
               [f"{v:.4f}" for v in theirs[layout]])
+    # Teacher-forced replay (VERDICT r4 #2): feed the torch loop OUR
+    # recorded low-res masks at every click, so the two stacks see identical
+    # inputs per click and the gap cannot compound through the click
+    # cascade. The residual is pure single-forward numeric drift.
+    tf_ious, tf_low_res = torch_harness.reference_click_loop(
+        tsam, samples, ours.clicks, num_clicks=args.num_clicks,
+        point_layout="literal", mask_override=ours.low_res,
+        return_low_res=True,
+    )
+    theirs_tf = np.asarray(tf_ious).mean(axis=0)
+    print("theirs (teacher-forced)     :", [f"{v:.4f}" for v in theirs_tf])
 
-    gap = float(np.max(np.abs(np.asarray(ours.mean_ious) - theirs["slots"])))
+    # Logit-level agreement: under teacher forcing both stacks compute the
+    # same function of identical inputs per click, so any IoU residual must
+    # be threshold flips of near-zero logits. Measure it directly.
+    logit_diffs, logit_scale, flip_fracs = [], [], []
+    for si in range(len(samples)):
+        for k in range(args.num_clicks):
+            a = np.asarray(ours.low_res[si][k], np.float32).ravel()
+            b = np.asarray(tf_low_res[si][k], np.float32).ravel()
+            logit_diffs.append(np.max(np.abs(a - b)))
+            logit_scale.append(np.max(np.abs(a)))
+            flip_fracs.append(np.mean((a > 0) != (b > 0)))
+    logit_max_diff = float(np.max(logit_diffs))
+    logit_amax = float(np.max(logit_scale))
+    flip_frac = float(np.mean(flip_fracs))
+    print(
+        f"low-res logit agreement (teacher-forced): max|d|={logit_max_diff:.4f} "
+        f"(logit scale ±{logit_amax:.1f}), sign-flip fraction={flip_frac:.5f}"
+    )
+
+    ours_arr = np.asarray(ours.mean_ious)
+    gap = float(np.max(np.abs(ours_arr - theirs["literal"])))
+    gap_numeric = float(np.max(np.abs(ours_arr - theirs_tf)))
+    fork_gap = float(np.max(np.abs(ours_arr - theirs_fork)))
     layout_delta = float(np.max(np.abs(theirs["slots"] - theirs["literal"])))
-    print(f"max per-click mean-IoU gap (same clicks, same token layout): {gap:.5f}")
-    print(f"slot-padding vs literal point-list delta (torch only): {layout_delta:.5f}")
+    print(f"max per-click mean-IoU gap (upstream-intent oracle): {gap:.5f}")
+    print(f"  .. teacher-forced (numeric only, no cascade): {gap_numeric:.5f}")
+    print(f"  .. cascade contribution: {max(gap - gap_numeric, 0.0):.5f}")
+    print(f"  .. vs as-committed fork (incl. its rel_w matmul bug): {fork_gap:.5f}")
+    print(f"slots (serving layout) vs literal delta (torch only): {layout_delta:.5f}")
 
     result = {
         "checkpoint": f"{args.ckpt}/{args.name}",
         "step": int(step),
         "samples": args.samples,
         "num_clicks": args.num_clicks,
+        "point_layout": "literal (reference semantics, the harness default)",
         "jax_mean_ious": [round(float(v), 5) for v in ours.mean_ious],
-        "ref_torch_mean_ious": [round(float(v), 5) for v in theirs["slots"]],
-        "ref_torch_literal_layout": [round(float(v), 5) for v in theirs["literal"]],
+        "ref_torch_mean_ious": [round(float(v), 5) for v in theirs["literal"]],
+        "ref_torch_teacher_forced": [round(float(v), 5) for v in theirs_tf],
+        "ref_torch_slots_layout": [round(float(v), 5) for v in theirs["slots"]],
         "max_gap": round(gap, 6),
+        "max_gap_teacher_forced_numeric": round(gap_numeric, 6),
+        "cascade_gap": round(max(gap - gap_numeric, 0.0), 6),
+        "fork_behavior_gap": round(fork_gap, 6),
+        "fork_behavior_note": (
+            "gap vs the as-committed fork, whose rel_w broadcast-matmul "
+            "indexes Rw by h instead of w (image_encoder.py:402-404; "
+            "torch_harness.install_upstream_rel_pos docstring). The "
+            "framework implements the upstream einsum the fork commented "
+            "out; max_gap above is measured against that corrected oracle."
+        ),
         "point_layout_delta": round(layout_delta, 6),
         "agree_1e3": bool(gap < 1e-3),
+        "numeric_agree_1e3": bool(gap_numeric < 1e-3),
+        "logit_max_abs_diff": round(logit_max_diff, 6),
+        "logit_abs_max": round(logit_amax, 3),
+        "pred_sign_flip_fraction": round(flip_frac, 6),
     }
     if args.out:
         with open(args.out, "w") as f:

@@ -39,6 +39,13 @@ def parse_args(argv=None):
                  "fq_int8_tuned", "a8_serving"],
     )
     p.add_argument(
+        "--attn-impl", default="xla", choices=["xla", "auto", "flash"],
+        help="attention dispatch for evaluation. 'xla' = eager (the CPU "
+             "harness rows); 'auto' on a TPU = the Pallas serving kernels "
+             "(packed flash + clamp + exp2 + tight Lp + int8-out epilogue "
+             "where configured) — the VERDICT r4 #1 measurement",
+    )
+    p.add_argument(
         "--merge", action="store_true",
         help="merge rows into an existing --out file instead of replacing it",
     )
@@ -84,17 +91,64 @@ def main(argv=None):
         (img, gt) for img, gt in synthetic_samples(args.calib_samples, size, seed=777)
     ]
 
+    def _bf16_encoder():
+        return jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v,
+            model.image_encoder,
+        )
+
     def encoder_variant(name):
-        """Returns (model_with_quantized_encoder, ctx factory or None)."""
+        """Returns (model_with_quantized_encoder, ctx factory or None,
+        serve_bf16)."""
         if name == "fp32":
-            return model, None
+            return model, None, False
+        if name == "bf16_kernels":
+            # Serving-dtype FP reference THROUGH the kernel path: isolates
+            # the flash kernels' clamp/exp2/Lp numerics from quantization
+            # (run with --attn-impl auto on the TPU).
+            enc = _bf16_encoder()
+            return (
+                sam_lib.Sam(enc, model.prompt_encoder, model.mask_decoder, cfg),
+                None, True,
+            )
+        if name in ("a8_serving_kernels", "a8_serving_kernels_epi"):
+            # EXACTLY the `infer --serve-int8` serving configuration
+            # (VERDICT r4 #1): bf16 encoder params (bench.py:310-312), GPTQ
+            # INT4-sym -> cached per-channel int8 nk weights, calibrated
+            # static activation scales, per-op routing. The `_epi` variant
+            # routes attn.proj to int8 too (skip=()), which engages the
+            # flash kernels' int8-out epilogue on the windowed blocks.
+            from sam_quantization_tpu.nn.packed import (
+                cache_int8, default_serve_skip,
+            )
+            from sam_quantization_tpu.quant.act_scales import (
+                calibrate_act_scales,
+            )
+
+            enc_bf16 = _bf16_encoder()
+            calib_bf16 = [c.astype(jnp.bfloat16) for c in calib_imgs]
+            qcfg = gptq.GPTQConfig(bits=4, groupsize=32, sym=True)
+            enc, _losses = sequential.gptq_quantize_encoder(
+                enc_bf16, cfg.image_encoder, calib_bf16, qcfg
+            )
+            scales = calibrate_act_scales(
+                enc_bf16, cfg.image_encoder, calib_bf16, margin=1.1
+            )
+            skip = () if name.endswith("_epi") else default_serve_skip(
+                cfg.image_encoder.embed_dim
+            )
+            enc = cache_int8(enc, act_scales=scales, skip=skip)
+            return (
+                sam_lib.Sam(enc, model.prompt_encoder, model.mask_decoder, cfg),
+                None, True,
+            )
         if name.startswith("gptq_int") and not name.endswith("_mixed"):
             bits = int(name[-1])
             qcfg = gptq.GPTQConfig(bits=bits, groupsize=32)
             enc, _losses = sequential.gptq_quantize_encoder(
                 model.image_encoder, cfg.image_encoder, calib_imgs, qcfg
             )
-            return sam_lib.Sam(enc, model.prompt_encoder, model.mask_decoder, cfg), None
+            return sam_lib.Sam(enc, model.prompt_encoder, model.mask_decoder, cfg), None, False
         if name in ("rtn_int2u", "rtn_int2u_mixed"):
             # Diagnose → act (the PPQ flow, script/analysis.py:596-625 →
             # custimized_quant.py): ungrouped RTN INT2 is the crudest config;
@@ -120,13 +174,13 @@ def main(argv=None):
             enc = sequential.rtn_quantize_encoder(
                 model.image_encoder, qcfg, overrides=ov
             )
-            return sam_lib.Sam(enc, model.prompt_encoder, model.mask_decoder, cfg), None
+            return sam_lib.Sam(enc, model.prompt_encoder, model.mask_decoder, cfg), None, False
         if name.startswith("rtn_int"):
             bits = int(name[-1])
             enc = sequential.rtn_quantize_encoder(
                 model.image_encoder, gptq.GPTQConfig(bits=bits, groupsize=32)
             )
-            return sam_lib.Sam(enc, model.prompt_encoder, model.mask_decoder, cfg), None
+            return sam_lib.Sam(enc, model.prompt_encoder, model.mask_decoder, cfg), None, False
         if name == "a8_serving":
             # The headline serving config (BENCHMARKS.md round 2): GPTQ
             # INT4-sym weights requantized to cached per-channel int8 +
@@ -145,7 +199,7 @@ def main(argv=None):
                 model.image_encoder, cfg.image_encoder, calib_imgs, margin=1.1
             )
             enc = cache_int8(enc, act_scales=scales)
-            return sam_lib.Sam(enc, model.prompt_encoder, model.mask_decoder, cfg), None
+            return sam_lib.Sam(enc, model.prompt_encoder, model.mask_decoder, cfg), None, False
         if name == "fq_int8":
             from sam_quantization_tpu.quant.fq.pipeline import (
                 FQConfig, calibrate_sam, quantize_sam,
@@ -154,7 +208,7 @@ def main(argv=None):
             fqcfg = FQConfig()  # int8 W, uint8 A, PTF int-LN + LIS enabled
             qparams = calibrate_sam(model, calib_sam, fqcfg)
             qmodel, make_ctx = quantize_sam(model, fqcfg, qparams)
-            return qmodel, make_ctx
+            return qmodel, make_ctx, False
         if name == "fq_int8_tuned":
             # Diagnose→act on the FQ path (VERDICT r2 next-step #4): the
             # pointwise-SNR diagnosis (fq_pointwise_snr, the FQ analog of
@@ -182,15 +236,23 @@ def main(argv=None):
             qparams = calibrate_sam(model, calib_sam, fqcfg, overrides=ov)
             qmodel, make_ctx = quantize_sam(model, fqcfg, qparams,
                                             overrides=ov)
-            return qmodel, make_ctx
+            return qmodel, make_ctx, False
         raise ValueError(name)
 
-    def evaluate(qmodel, make_ctx):
+    def evaluate(qmodel, make_ctx, serve_bf16=False):
         ctx = make_ctx() if make_ctx else None
         encode_raw, decode = click_eval.make_sam_backend(
-            qmodel, ctx=ctx, attn_impl="xla"
+            qmodel, ctx=ctx, attn_impl=args.attn_impl
         )
-        encode = lambda x: encode_raw(sam_lib.preprocess(qmodel, x))
+        if serve_bf16:
+            # serving dtype: bf16 activations, exactly as bench.py/infer
+            # --serve-int8 drive the encoder (the int8-out epilogue and
+            # int8-pre routing gate on bf16)
+            encode = lambda x: encode_raw(
+                sam_lib.preprocess(qmodel, x).astype(jnp.bfloat16)
+            )
+        else:
+            encode = lambda x: encode_raw(sam_lib.preprocess(qmodel, x))
         res = click_eval.click_loop_eval(
             encode, decode, eval_samples, num_clicks=args.num_clicks,
             img_size=size, seed=123,
@@ -229,17 +291,63 @@ def main(argv=None):
             ]
         return res, noc, ci
 
+    prev_rows = {}
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            prev_rows = json.load(f).get("rows", {})
+
+    # kernel-path rows are checked against their CPU-eager base row: the
+    # click-k mIoU and NoC@90 must land inside the base row's scene-bootstrap
+    # CI95 (VERDICT r4 #1: "assert deltas vs the CPU-eager rows are within
+    # CI"). Kernel numeric drift (clamp/exp2/Lp/a8 epilogue) is orders below
+    # the scene-sampling CI, so a violation means a real semantic change.
+    base_of = {
+        "bf16_kernels": "fp32",
+        "a8_serving_kernels": "a8_serving",
+        "a8_serving_kernels_epi": "a8_serving",
+    }
+
     rows = {}
+    all_within = True
     for name in args.configs:
-        qmodel, make_ctx = encoder_variant(name)
-        res, noc, ci = evaluate(qmodel, make_ctx)
-        rows[name] = {
+        qmodel, make_ctx, serve_bf16 = encoder_variant(name)
+        res, noc, ci = evaluate(qmodel, make_ctx, serve_bf16)
+        row = {
             "click1_miou": round(res.click1, 4),
             f"click{args.num_clicks}_miou": round(res.final, 4),
             **{k: (round(v, 2) if not isinstance(v, list) else v)
                for k, v in noc.items()},
             **ci,
         }
+        if args.attn_impl != "xla":
+            row["attn_impl"] = args.attn_impl
+        base_name = base_of.get(name)
+        base = prev_rows.get(base_name) or rows.get(base_name)
+        if base_name and base:
+            ck = f"click{args.num_clicks}_miou"
+            checks = {}
+            for key, ci_key in ((ck, f"click{args.num_clicks}_ci95"),
+                                ("noc@90", "noc@90_ci95")):
+                lo, hi = base[ci_key]
+                rlo, rhi = row[ci_key]
+                # inside the base CI, or the two CIs overlap (both rows are
+                # scene-bootstrap estimates; NoC is integer-quantized per
+                # scene, so its CI can collapse to a point — overlap is the
+                # standard no-significant-difference criterion)
+                checks[key] = bool(
+                    lo <= row[key] <= hi or (rlo <= hi and lo <= rhi)
+                )
+            row["vs_base_row"] = base_name
+            row["delta_click_miou"] = round(row[ck] - base[ck], 4)
+            row["delta_noc@90"] = round(row["noc@90"] - base["noc@90"], 2)
+            row["within_base_ci95"] = checks
+            ok = all(checks.values())
+            all_within &= ok
+            print(f"  {name} vs {base_name}: d_miou="
+                  f"{row['delta_click_miou']:+.4f} d_noc@90="
+                  f"{row['delta_noc@90']:+.2f} within CI95 -> "
+                  f"{'PASS' if ok else 'FAIL'}", flush=True)
+        rows[name] = row
         print(name, rows[name], flush=True)
 
     out = {
@@ -248,11 +356,15 @@ def main(argv=None):
         "eval_samples": args.eval_samples,
         "rows": rows,
     }
-    if args.merge and os.path.exists(args.out):
+    if args.merge and prev_rows:
+        merged = dict(prev_rows)
+        merged.update(rows)
         with open(args.out) as f:
-            prev = json.load(f)
-        prev["rows"].update(rows)
-        out = prev
+            out = json.load(f)
+        out["rows"] = merged
+    if not all_within:
+        print("WARNING: a kernel-path row left its base row's CI95",
+              flush=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({"status": "ok", "out": args.out}))

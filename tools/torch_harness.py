@@ -98,6 +98,49 @@ def install_generic_windows():
     ref_ie.window_unpartition = generic_unpartition
 
 
+def install_upstream_rel_pos():
+    """Replace the fork's broadcast-matmul ``rel_w`` with the upstream einsum
+    (the commented-out line of the same function).
+
+    The fork rewrote ``torch.einsum("bhwc,wkc->bhwk", r_q, Rw)`` as
+    ``torch.matmul(r_q, Rw.transpose(1, 2))`` (image_encoder.py:402-404).
+    matmul batch-broadcasting right-aligns r_q's (B, h) batch dims with
+    Rw's (w,) — so the product indexes **Rw by h instead of w**. It only
+    runs because q_h == q_w at every SAM shape; the result is a wrong
+    rel_w bias (verified: at the vit_tiny checkpoint the fork's form moves
+    the encoder embedding by max 0.30 (10% of scale) vs the einsum form,
+    while JAX-vs-einsum agreement is 1.9e-6 — tools/cross_validate_harness
+    round 5). ``rel_h`` is unaffected (its batch dims align correctly).
+
+    This framework implements the upstream einsum semantics
+    (models/image_encoder.decomposed_rel_pos_tiles); call this to make the
+    oracle match intent, or skip it to measure the fork-behavior delta.
+    """
+    torch = _import_reference_torch()
+
+    import segment_anything.modeling.image_encoder as ref_ie
+
+    get_rel_pos = ref_ie.get_rel_pos
+
+    def upstream_add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w,
+                                        q_size, k_size):
+        q_h, q_w = q_size
+        k_h, k_w = k_size
+        Rh = get_rel_pos(q_h, k_h, rel_pos_h)
+        Rw = get_rel_pos(q_w, k_w, rel_pos_w)
+        B, _, dim = q.shape
+        r_q = q.reshape(B, q_h, q_w, dim)
+        rel_h = torch.einsum("bhwc,hkc->bhwk", r_q, Rh)
+        rel_w = torch.einsum("bhwc,wkc->bhwk", r_q, Rw)
+        return (
+            attn.view(B, q_h, q_w, k_h, k_w)
+            + rel_h[:, :, :, :, None]
+            + rel_w[:, :, :, None, :]
+        ).view(B, q_h * q_w, k_h * k_w)
+
+    ref_ie.add_decomposed_rel_pos = upstream_add_decomposed_rel_pos
+
+
 def build_reference_torch_sam(cfg, state_dict: dict):
     """Instantiate the reference's ImageEncoderViT / PromptEncoder /
     MaskDecoder at our :class:`SamConfig` hyperparameters and strict-load an
@@ -172,8 +215,10 @@ def reference_click_loop(
     clicks: Sequence[Sequence[Tuple[int, int, float]]],
     num_clicks: int = 5,
     max_points: int = 24,
-    point_layout: str = "slots",
-) -> List[List[float]]:
+    point_layout: str = "literal",
+    mask_override: Sequence[Sequence[np.ndarray]] = None,
+    return_low_res: bool = False,
+):
     """The reference's 5-click loop (script/evaluation2.py:276-331) under the
     reference's torch modules, replaying pinned ``clicks``.
 
@@ -188,11 +233,18 @@ def reference_click_loop(
     identical token set; "literal" grows the point list click by click
     exactly as evaluation2.py:278-296 does (k points + 1 pad point after k
     clicks). Running both quantifies the slot-padding delta.
+
+    ``mask_override``: per-sample per-click low-res mask logits (NCHW, from
+    the OTHER harness's recording — click_eval ``record_low_res``). When
+    set, click k's mask prompt is ``mask_override[si][k-1]`` instead of this
+    loop's own previous prediction — teacher forcing, so the per-click gap
+    measures pure single-forward numeric drift with no cascade compounding.
     """
     torch = _import_reference_torch()
     import torch.nn.functional as TF
 
     all_ious: List[List[float]] = []
+    all_low_res: List[List[np.ndarray]] = []
     with torch.no_grad():
         for si, (image, gt) in enumerate(samples):
             img = np.asarray(image, np.float32)
@@ -203,6 +255,7 @@ def reference_click_loop(
             gt_t = torch.tensor(np.asarray(gt) > 0)
             low_res_masks = None
             ious: List[float] = []
+            sample_low_res: List[np.ndarray] = []
             coords = np.zeros((1, max_points, 2), np.float32)
             labels = -np.ones((1, max_points), np.float32)
             for k in range(num_clicks):
@@ -216,10 +269,18 @@ def reference_click_loop(
                         torch.tensor(coords[:, : k + 1]),
                         torch.tensor(labels[:, : k + 1]),
                     )
+                if k == 0:
+                    mask_prompt = None
+                elif mask_override is not None:
+                    mask_prompt = torch.tensor(
+                        np.asarray(mask_override[si][k - 1], np.float32)
+                    )
+                else:
+                    mask_prompt = low_res_masks
                 sparse, dense = tsam.prompt_encoder(
                     points=pts,
                     boxes=None,
-                    masks=None if k == 0 else low_res_masks,
+                    masks=mask_prompt,
                 )
                 low_res_masks, _iou_pred = tsam.mask_decoder(
                     image_embeddings=image_embedding,
@@ -238,5 +299,11 @@ def reference_click_loop(
                 inter = (pred & gt_t).sum().item()
                 union = (pred | gt_t).sum().item()
                 ious.append(inter / max(union, 1))
+                if return_low_res:
+                    sample_low_res.append(low_res_masks.numpy().copy())
             all_ious.append(ious)
+            if return_low_res:
+                all_low_res.append(sample_low_res)
+    if return_low_res:
+        return all_ious, all_low_res
     return all_ious
