@@ -26,6 +26,16 @@ jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _jit(f, **kw):
+    """jax.jit + the run's scoped-vmem compiler options (ViT-L Lp=224
+    needs the raised limit; ops/flash_attention.scoped_vmem_compiler_options)."""
+    from sam_quantization_tpu.ops.flash_attention import (
+        scoped_vmem_compiler_options,
+    )
+
+    return jax.jit(f, compiler_options=scoped_vmem_compiler_options(), **kw)
+
+
 def _throughput(fn, x, iters, warmup):
     for _ in range(warmup):
         r = fn(x)
@@ -53,7 +63,7 @@ def _chained_throughput(apply_fn, params, x, chain, reps):
         [x + jnp.bfloat16(1e-3 * (i + 1)) for i in range(chain)]
     )
 
-    @jax.jit
+    @_jit
     def run(params, xs):
         def step(_, xi):
             return (), jnp.mean(apply_fn(params, xi), axis=(1, 2))
@@ -115,7 +125,7 @@ def _segments_throughput(params, x, ecfg, attn_impl, reps, seg_reps):
     # Per-dispatch relay overhead (RTT of a trivial program), subtracted
     # from each stage's dispatch time before dividing by seg_reps — the
     # remainder is device compute + result-scalar transfer.
-    trivial = jax.jit(lambda s: s + 1.0)
+    trivial = _jit(lambda s: s + 1.0)
     t_rtt = timed(trivial, jnp.float32(0))
 
     glob_idx = set(ecfg.global_attn_indexes)
@@ -150,10 +160,10 @@ def _segments_throughput(params, x, ecfg, attn_impl, reps, seg_reps):
             acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(small_iters))
             return acc
 
-        return jax.jit(run)
+        return _jit(run)
 
     embed_timed = mod_scan(lambda p, xi: ie.embed(p, xi, ecfg))
-    x_blk = jax.jit(lambda p, xi: ie.embed(p, xi, ecfg))(emb_p, x)
+    x_blk = _jit(lambda p, xi: ie.embed(p, xi, ecfg))(emb_p, x)
     t_embed = max(timed(embed_timed, emb_p, xs) - t_rtt, 0.0) / small_iters
 
     def block_stage(slot, reps):
@@ -172,7 +182,7 @@ def _segments_throughput(params, x, ecfg, attn_impl, reps, seg_reps):
             x, _ = jax.lax.scan(rep, xb, None, length=reps)
             return x
 
-        return jax.jit(run), jax.jit(lambda bp, xb: jnp.mean(run(bp, xb)))
+        return _jit(run), _jit(lambda bp, xb: jnp.mean(run(bp, xb)))
 
     # the global stage has ~7x fewer blocks than the windowed one; give it
     # proportionally more in-dispatch reps so both dispatch >=100 ms of
@@ -277,9 +287,10 @@ def main():
                          "default: (N, K), contraction dim minor — matched "
                          "A/B 27.04 -> 28.22 img/s at ViT-H; kn opts back "
                          "into the row-major layout)")
-    from sam_quantization_tpu.cli import add_platform_arg
+    from sam_quantization_tpu.cli import add_platform_arg, add_scoped_vmem_arg
 
     add_platform_arg(ap)
+    add_scoped_vmem_arg(ap)
     ap.add_argument("--quant-passes", type=int, default=1,
                     help="with --segments: re-time the quantized pass N "
                          "times (same compiled programs) and record every "
@@ -305,6 +316,9 @@ def main():
     from sam_quantization_tpu.quant import gptq, sequential
 
     ecfg = CONFIGS[args.model].image_encoder
+    from sam_quantization_tpu.cli import apply_scoped_vmem
+
+    apply_scoped_vmem(args, ecfg.embed_dim)  # before any trace (env gate)
     key = jax.random.PRNGKey(0)
     params = image_encoder.init(key, ecfg)
     params = jax.tree_util.tree_map(
@@ -344,7 +358,7 @@ def main():
         fp_fn = lambda x: jax.block_until_ready(run(params, x))
         fp_ips = _throughput(fp_fn, x, args.iters, args.warmup)
     else:
-        fp_fn = jax.jit(
+        fp_fn = _jit(
             lambda x: image_encoder.apply(params, x, ecfg, attn_impl=args.baseline_attn)
         )
         fp_ips = _throughput(fp_fn, x, args.iters, args.warmup)
@@ -423,7 +437,7 @@ def main():
         q_fn = lambda x: jax.block_until_ready(qrun(qparams, x))
         q_ips = _throughput(q_fn, x, args.iters, args.warmup)
     else:
-        q_fn = jax.jit(lambda x: image_encoder.apply(qparams, x, ecfg))
+        q_fn = _jit(lambda x: image_encoder.apply(qparams, x, ecfg))
         q_ips = _throughput(q_fn, x, args.iters, args.warmup)
     q_runs = [q_ips]
     if args.segments and args.quant_passes > 1:

@@ -137,6 +137,87 @@ int64_t rle_encode_batch(const uint8_t* masks, int64_t n, int64_t h,
   return overflow.load() ? -1 : 0;
 }
 
+// --------------------------------------------------------------------------
+// Batched RLE encode over N masks BIT-PACKED on the device (8x smaller
+// device->host transfer — the dominant real AMG cost at 1024^2, round-4
+// amg_bench). Layout per mask: w columns x ceil(h/8) bytes, bit j of byte b
+// = row b*8+j (little bit order, jnp.packbits(transpose(mask), axis=-1,
+// bitorder='little')) — i.e. the COLUMN-MAJOR bit stream COCO RLE scans, so
+// the runs are scanned straight off the packed bytes with a byte-skip fast
+// path (a 0x00/0xFF byte extends the current run by 8 without touching
+// bits). No unpacked mask is ever materialized.
+// --------------------------------------------------------------------------
+namespace {
+
+int64_t scan_runs_packed_col(const uint8_t* packed, int64_t h, int64_t w,
+                             int64_t* out_counts, int64_t cap) {
+  const int64_t bpc = (h + 7) / 8;  // bytes per column
+  int64_t n = 0;
+  uint8_t cur = 0;
+  int64_t run = 0;
+  for (int64_t x = 0; x < w; ++x) {
+    const uint8_t* col = packed + x * bpc;
+    int64_t bits_left = h;
+    for (int64_t b = 0; b < bpc; ++b) {
+      uint8_t v = col[b];
+      int nb = bits_left >= 8 ? 8 : (int)bits_left;
+      if (nb == 8 && v == (cur ? 0xFF : 0x00)) {
+        run += 8;
+        bits_left -= 8;
+        continue;
+      }
+      for (int j = 0; j < nb; ++j) {
+        uint8_t bit = (v >> j) & 1;
+        if (bit == cur) {
+          ++run;
+        } else {
+          if (n >= cap) return -1;
+          out_counts[n++] = run;
+          cur = bit;
+          run = 1;
+        }
+      }
+      bits_left -= nb;
+    }
+  }
+  if (n >= cap) return -1;
+  out_counts[n++] = run;
+  return n;
+}
+
+}  // namespace
+
+int64_t rle_encode_batch_packed(const uint8_t* packed, int64_t n, int64_t h,
+                                int64_t w, int64_t* out_counts,
+                                int64_t cap_per, int64_t* out_lens,
+                                int64_t nthreads) {
+  if (n <= 0) return 0;
+  const int64_t per_mask = w * ((h + 7) / 8);
+  int64_t hw = std::max<int64_t>(
+      1, std::min<int64_t>(std::thread::hardware_concurrency(), 16));
+  int64_t nt = std::max<int64_t>(1, std::min(nthreads > 0 ? nthreads : hw, n));
+  std::atomic<int64_t> next(0);
+  std::atomic<bool> overflow(false);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) break;
+      int64_t m = scan_runs_packed_col(packed + i * per_mask, h, w,
+                                       out_counts + i * cap_per, cap_per);
+      out_lens[i] = m;
+      if (m < 0) overflow.store(true);
+    }
+  };
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int64_t t = 0; t < nt; ++t) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+  }
+  return overflow.load() ? -1 : 0;
+}
+
 // RLE decode into HxW uint8 row-major.
 void rle_decode(const int64_t* counts, int64_t n_counts, int64_t h, int64_t w,
                 uint8_t* out_mask) {

@@ -174,6 +174,56 @@ class SamAutomaticMaskGenerator:
         if self._dp_sharding is not None:
             coords_j = jax.device_put(coords_j, self._dp_sharding)
             labels_j = jax.device_put(labels_j, self._dp_sharding)
+        # Full-crop fast path: threshold/stability/boxes/bit-pack on device,
+        # transfer packed bits (8x smaller), RLE straight off the packed
+        # bytes. uncrop_masks is the identity here, so behavior matches the
+        # general path below (parity-tested in test_export_and_amg).
+        import os
+
+        full_crop = (
+            list(crop_box) == [0, 0, orig_w, orig_h]
+            and tuple(im_size) == tuple(orig_size)
+            and os.environ.get("SAMQ_AMG_PACKED") != "0"
+        )
+        if full_crop:
+            packed, iou_p, stab, boxes = _batched_decode_packed(
+                self.predictor.model,
+                self.predictor.features,
+                coords_j,
+                labels_j,
+                tuple(self.predictor.input_size),
+                tuple(im_size),
+                float(self.predictor.model.config.mask_threshold),
+                float(self.stability_score_offset),
+            )
+            m = n * 3
+            packed_np = np.asarray(packed[:m])
+            data = amg_utils.MaskData(
+                packed=packed_np,
+                iou_preds=np.asarray(iou_p[:m]).reshape(-1),
+                stability_score=np.asarray(stab[:m]).reshape(-1),
+                boxes=np.asarray(boxes[:m]),
+                points=np.repeat(points, 3, axis=0)[:m],
+            )
+            if self.pred_iou_thresh > 0.0:
+                data.filter(data["iou_preds"] > self.pred_iou_thresh)
+            if self.stability_score_thresh > 0.0:
+                data.filter(
+                    data["stability_score"] >= self.stability_score_thresh
+                )
+            keep = ~amg_utils.is_box_near_crop_edge(
+                data["boxes"], crop_box, [0, 0, orig_w, orig_h]
+            )
+            if not keep.all():
+                data.filter(keep)
+            counts = native.rle_encode_batch_packed(
+                data["packed"], orig_h, orig_w
+            )
+            data["rles"] = [
+                {"size": [orig_h, orig_w], "counts": c} for c in counts
+            ]
+            del data["packed"]
+            return data
         low_res, iou_preds = _batched_decode(
             self.predictor.model,
             self.predictor.features,
@@ -265,3 +315,41 @@ def _batched_decode(model, features, coords, labels):
         model, features, points=(coords, labels), multimask_output=True
     )
     return low_res, iou
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _batched_decode_packed(
+    model, features, coords, labels, input_size, im_size, thr, off
+):
+    """Full-crop AMG batch as ONE device program INCLUDING the mask
+    postprocess: decode → full-res upsample → stability score → threshold →
+    boxes → column-major bit-pack. The host receives 8× fewer mask bytes
+    (packbits) and the C++ RLE consumes them without unpacking
+    (native.rle_encode_batch_packed) — the round-4 AMG mask transfer was the
+    dominant real cost (192 MB bool / 7.7 s over the tunnel per batch;
+    tools/amg_bench.py), and this shrinks it to 24 MB with no new host work.
+    """
+    low_res, iou = sam_lib.decode_masks(
+        model, features, points=(coords, labels), multimask_output=True
+    )
+    masks = sam_lib.postprocess_masks(model, low_res, input_size, im_size)
+    H, W = im_size
+    masks = masks.reshape(-1, H, W)
+    hi = jnp.sum(masks > (thr + off), axis=(1, 2))
+    lo = jnp.sum(masks > (thr - off), axis=(1, 2))
+    stability = hi / jnp.maximum(lo, 1)
+    binm = masks > thr
+    # boxes, matching utils/amg.batched_mask_to_box incl. empty → zeros
+    in_h = jnp.any(binm, axis=2)  # (M, H)
+    in_w = jnp.any(binm, axis=1)  # (M, W)
+    ys = jnp.arange(H)[None, :]
+    xs = jnp.arange(W)[None, :]
+    bottom = jnp.max(in_h * ys, axis=-1)
+    top = jnp.min(jnp.where(in_h, ys, H), axis=-1)
+    right = jnp.max(in_w * xs, axis=-1)
+    left = jnp.min(jnp.where(in_w, xs, W), axis=-1)
+    empty = (left > right) | (top > bottom)
+    boxes = jnp.stack([left, top, right, bottom], axis=-1)
+    boxes = jnp.where(empty[:, None], 0, boxes).astype(jnp.float32)
+    packed = amg_utils.packbits_masks(binm)
+    return packed, iou.reshape(-1), stability, boxes

@@ -41,3 +41,27 @@ def apply_platform(args) -> None:
                 )
             return
         jax.config.update("jax_platforms", platform)
+
+
+def add_scoped_vmem_arg(parser) -> None:
+    parser.add_argument(
+        "--scoped-vmem-kib", type=int, default=None,
+        help="raise XLA's scoped-vmem limit for this run's jits (KiB; "
+        "e.g. 24576). 'auto' behavior: serving entry points default to "
+        "24576 for 1024-wide (ViT-L) models, where the tight Lp=224 "
+        "flash padding needs headroom for XLA's output-in-vmem choice "
+        "(ops/flash_attention.scoped_vmem_compiler_options)",
+    )
+
+
+def apply_scoped_vmem(args, embed_dim: int | None = None) -> None:
+    """Set SAMQ_SCOPED_VMEM_KIB from the flag (or the ViT-L auto default)
+    BEFORE any jit is traced; pair jits with
+    ``flash_attention.scoped_vmem_compiler_options()``."""
+    import os
+
+    kib = getattr(args, "scoped_vmem_kib", None)
+    if kib is None and embed_dim == 1024:
+        kib = 24576
+    if kib:
+        os.environ["SAMQ_SCOPED_VMEM_KIB"] = str(kib)

@@ -32,9 +32,13 @@ def main(argv=None):
     p.add_argument("--num-samples", type=int, default=20)
     p.add_argument("--sbd-dir", default=None)
     p.add_argument("--seed", type=int, default=42)
-    from sam_quantization_tpu.cli import add_platform_arg, apply_platform
+    from sam_quantization_tpu.cli import (
+        add_platform_arg, add_scoped_vmem_arg, apply_platform,
+        apply_scoped_vmem,
+    )
 
     add_platform_arg(p)
+    add_scoped_vmem_arg(p)
     args = p.parse_args(argv)
     apply_platform(args)
 
@@ -46,6 +50,7 @@ def main(argv=None):
     from sam_quantization_tpu.quant import artifacts
 
     model = build_sam.sam_model_registry[args.model](checkpoint=args.checkpoint)
+    apply_scoped_vmem(args, model.config.image_encoder.embed_dim)
     ctx = None
     if args.load:
         enc, qcfg = artifacts.load_quantized(args.load)
@@ -120,7 +125,14 @@ def main(argv=None):
     attn = "xla" if ctx is not None else "auto"
     if args.benchmark:
         # counterpart of bench_speed (gptq4sam_infer.py:59-79)
-        fn = jax.jit(lambda x: sam_lib.encode_image(model, x, use_ctx, attn_impl=attn))
+        from sam_quantization_tpu.ops.flash_attention import (
+            scoped_vmem_compiler_options,
+        )
+
+        fn = jax.jit(
+            lambda x: sam_lib.encode_image(model, x, use_ctx, attn_impl=attn),
+            compiler_options=scoped_vmem_compiler_options(),
+        )
         x = jnp.zeros((1, size, size, 3), jnp.bfloat16)
         for _ in range(args.bench_warmup):
             r = fn(x)

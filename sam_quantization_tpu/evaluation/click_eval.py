@@ -56,15 +56,23 @@ class ClickEvalResult:
 
 def make_sam_backend(model: sam_lib.Sam, ctx=None, attn_impl: str = "auto"):
     """(encode, decode) closures over a Sam pytree, jit-compiled."""
+    import functools
+
+    from sam_quantization_tpu.ops.flash_attention import (
+        scoped_vmem_compiler_options,
+    )
     from sam_quantization_tpu.quant.context import NULL_CTX
 
     ctx = ctx or NULL_CTX
+    _jit = functools.partial(
+        jax.jit, compiler_options=scoped_vmem_compiler_options()
+    )
 
-    @jax.jit
+    @_jit
     def encode(x):
         return sam_lib.encode_image(model, x, ctx, attn_impl=attn_impl)
 
-    @jax.jit
+    @_jit
     def decode(emb, coords, labels, mask_input, mask_valid):
         low_res, iou = sam_lib.decode_masks(
             model,

@@ -69,6 +69,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p,
             ctypes.c_int64, i64p, ctypes.c_int64,
         ]
+        if hasattr(lib, "rle_encode_batch_packed"):
+            lib.rle_encode_batch_packed.restype = ctypes.c_int64
+            lib.rle_encode_batch_packed.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p,
+                ctypes.c_int64, i64p, ctypes.c_int64,
+            ]
         lib.rle_decode.restype = None
         lib.rle_decode.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p]
         lib.rle_area.restype = ctypes.c_int64
@@ -145,6 +151,57 @@ def rle_encode_batch(masks: np.ndarray) -> list:
         out[i, : lens[i]].tolist() if lens[i] >= 0 else rle_encode(masks[i])
         for i in range(n)
     ]
+
+
+def rle_encode_batch_packed(packed: np.ndarray, h: int, w: int) -> list:
+    """Bit-packed batched RLE: ``packed`` is (N, W, ceil(H/8)) uint8 from
+    :func:`sam_quantization_tpu.utils.amg.packbits_masks` — the column-major
+    bit stream, packed ON DEVICE so the host transfer is 8x smaller than the
+    bool mask batch (the dominant real AMG cost, tools/amg_bench.py). The
+    C++ consumer scans runs straight off the packed bytes
+    (csrc rle_encode_batch_packed); no unpacked mask is materialized.
+    """
+    packed = np.ascontiguousarray(packed, np.uint8)
+    if packed.ndim != 3 or packed.shape[2] != (h + 7) // 8 or packed.shape[1] != w:
+        raise ValueError(
+            f"expected (N, {w}, {(h + 7) // 8}) packed masks, got {packed.shape}"
+        )
+    n = packed.shape[0]
+    lib = get_lib()
+    if n == 0:
+        return []
+    if lib is None or not hasattr(lib, "rle_encode_batch_packed"):
+        # numpy fallback: unpack to bool and take the unpacked path
+        bits = np.unpackbits(packed, axis=-1, bitorder="little", count=h)
+        return rle_encode_batch(bits.transpose(0, 2, 1))
+    cap = 8192
+    out = np.empty((n, cap), np.int64)
+    lens = np.empty(n, np.int64)
+    try:
+        rc = lib.rle_encode_batch_packed(
+            _ptr(packed, ctypes.c_uint8), n, h, w, _ptr(out, ctypes.c_int64),
+            cap, _ptr(lens, ctypes.c_int64), 0,
+        )
+        if rc not in (0, -1):
+            raise RuntimeError(f"rle_encode_batch_packed returned rc={rc}")
+    except Exception as e:
+        print(
+            f"[samq.native] rle_encode_batch_packed failed ({e}); unpacking "
+            f"on host instead",
+            file=sys.stderr,
+        )
+        bits = np.unpackbits(packed, axis=-1, bitorder="little", count=h)
+        return rle_encode_batch(bits.transpose(0, 2, 1))
+    results = []
+    for i in range(n):
+        if lens[i] >= 0:
+            results.append(out[i, : lens[i]].tolist())
+        else:  # pathological run count: unpack this one mask
+            bits = np.unpackbits(
+                packed[i], axis=-1, bitorder="little", count=h
+            ).T
+            results.append(rle_encode(bits))
+    return results
 
 
 def rle_decode(counts, h: int, w: int) -> np.ndarray:

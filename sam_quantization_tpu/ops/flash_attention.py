@@ -121,6 +121,32 @@ def _use_clamp() -> bool:
     return os.environ.get("SAMQ_FLASH_CLAMP") != "0"
 
 
+def _scoped_vmem_kib() -> int:
+    """SAMQ_SCOPED_VMEM_KIB: the caller raised XLA's scoped-vmem limit for
+    its jits (jax.jit(compiler_options={"xla_tpu_scoped_vmem_limit_kib":
+    ...}) — see scoped_vmem_compiler_options). Read at trace time."""
+    try:
+        return int(os.environ.get("SAMQ_SCOPED_VMEM_KIB", "0"))
+    except ValueError:
+        return 0
+
+
+def scoped_vmem_compiler_options() -> Optional[dict]:
+    """jit compiler_options matching SAMQ_SCOPED_VMEM_KIB, or None.
+
+    Root cause of the round-4 ViT-L Lp=224 compile failure (VERDICT #5):
+    the kernel itself fits, but in a composed block program XLA allocates
+    the kernel's whole (25, 224, 1024) bf16 output in scoped vmem (10.9 MB)
+    on top of the kernel's own footprint, blowing the default 16 MB limit
+    by 2.5 MB. v5e has 128 MB of VMEM; raising the scoped limit to 24 MB
+    per-compile (a DebugOptions field, forwarded through the axon remote
+    helper) compiles and keeps the tight-padding win. Serving entry points
+    (bench.py, cli) set the env + pass these options for 1024-wide models.
+    """
+    kib = _scoped_vmem_kib()
+    return {"xla_tpu_scoped_vmem_limit_kib": str(kib)} if kib else None
+
+
 def _psoft(s, exp2: bool, clamp: bool):
     """Unnormalized softmax numerator (p <= 1), max-subtracted or clamped."""
     if clamp:
@@ -437,7 +463,15 @@ def flash_attention_qkv_packed(
     # (hd=80+, nh >> 16) take tight padding and hit the same scoped-vmem
     # compile failure ViT-L did (advisor round-4 finding). The measured-safe
     # shapes are ViT-H (hd=80, nh*hd=1280) and ViT-B/tiny (nh*hd <= 768).
-    safe_224 = (hd >= 80 and nh * hd <= 1280) or nh * hd <= 768
+    # ViT-L (nh*hd = 1024) additionally takes tight padding when the caller
+    # raised XLA's scoped-vmem limit (scoped_vmem_compiler_options — the
+    # round-4 failure was XLA putting the kernel output in scoped vmem, not
+    # the kernel's own footprint).
+    safe_224 = (
+        (hd >= 80 and nh * hd <= 1280)
+        or nh * hd <= 768
+        or (nh * hd <= 1024 and _scoped_vmem_kib() >= 20480)
+    )
     lp_align = _env_int("SAMQ_PACKED_LP") or (32 if safe_224 else 128)
     Lp = _round_up(L, lp_align)
     if Lp != L:

@@ -132,6 +132,21 @@ def area_from_rle(rle: Dict[str, Any]) -> int:
     return sum(rle["counts"][1::2])
 
 
+def packbits_masks(binm):
+    """Device-side column-major bit-pack: (N, H, W) bool → (N, W, ceil(H/8))
+    uint8, bit j of byte b = row b*8+j (little bit order).
+
+    The packed tensor IS the COCO column-major bit stream, so the host
+    transfer shrinks 8× and ``native.rle_encode_batch_packed`` scans runs
+    straight off the bytes — the round-4 AMG bench's 192 MB bool transfer
+    (7.7 s over the axon tunnel) becomes 24 MB with no host unpack.
+    """
+    import jax.numpy as jnp
+
+    t = jnp.transpose(binm, (0, 2, 1))  # (N, W, H): column-major bit order
+    return jnp.packbits(t.astype(jnp.uint8), axis=-1, bitorder="little")
+
+
 # ---------------------------------------------------------------------------
 # Stability score, grids, crops (ref amg.py:161-234)
 # ---------------------------------------------------------------------------

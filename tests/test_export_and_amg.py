@@ -331,6 +331,39 @@ def test_amg_generate_tiny(rng):
         assert "bbox" in a and "predicted_iou" in a and "stability_score" in a
 
 
+def test_amg_packed_fast_path_matches_general(rng, monkeypatch):
+    """The full-crop device-packed path (_batched_decode_packed + C++
+    packed RLE) must produce byte-identical annotations to the general
+    host-mask path (SAMQ_AMG_PACKED=0)."""
+    from sam_quantization_tpu.automatic_mask_generator import (
+        SamAutomaticMaskGenerator,
+    )
+
+    model = sam_lib.init(jax.random.PRNGKey(0), VIT_TINY)
+    img = (rng.random((96, 80, 3)) * 255).astype(np.uint8)
+
+    def run():
+        gen = SamAutomaticMaskGenerator(
+            model, points_per_side=4, points_per_batch=16,
+            pred_iou_thresh=-1e9, stability_score_thresh=0.0,
+            min_mask_region_area=0, attn_impl="xla",
+        )
+        return gen.generate(img)
+
+    monkeypatch.setenv("SAMQ_AMG_PACKED", "0")
+    general = run()
+    monkeypatch.setenv("SAMQ_AMG_PACKED", "1")
+    fast = run()
+    assert len(general) == len(fast) and len(fast) > 0
+    for g, f in zip(general, fast):
+        assert (g["segmentation"] == f["segmentation"]).all()
+        assert g["bbox"] == f["bbox"]
+        assert g["area"] == f["area"]
+        np.testing.assert_allclose(
+            g["stability_score"], f["stability_score"], atol=1e-6
+        )
+
+
 def test_points_sampler(rng):
     from sam_quantization_tpu.data.points_sampler import (
         MultiPointSampler, points_to_sam_prompts,

@@ -73,3 +73,28 @@ def test_rle_encode_batch_matches_single_and_fallback():
         b = (m != 0).astype(np.uint8)
         assert got[i] == native.rle_encode(b), i
         assert got[i] == amg.mask_to_rle(b)["counts"], i
+
+
+def test_rle_encode_batch_packed_matches_unpacked():
+    """Device-packed column-major bit stream → same RLE as the bool path
+    (csrc rle_encode_batch_packed; utils/amg.packbits_masks layout)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sam_quantization_tpu.utils import amg
+
+    rng = np.random.default_rng(3)
+    for h, w in ((64, 48), (100, 37), (8, 8)):
+        yy, xx = np.mgrid[:h, :w]
+        masks = np.stack([
+            ((yy - rng.integers(h)) ** 2 + (xx - rng.integers(w)) ** 2
+             < rng.integers(2, max(h, w) // 2) ** 2)
+            for _ in range(5)
+        ] + [np.zeros((h, w), bool), np.ones((h, w), bool)])
+        ref = native.rle_encode_batch(masks.astype(np.uint8))
+        packed = np.asarray(amg.packbits_masks(jnp.asarray(masks)))
+        assert packed.shape == (len(masks), w, (h + 7) // 8)
+        got = native.rle_encode_batch_packed(packed, h, w)
+        assert got == ref
+        for c, m in zip(got, masks):
+            assert (native.rle_decode(c, h, w) == m).all()

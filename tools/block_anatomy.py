@@ -22,6 +22,7 @@ Run: python tools/block_anatomy.py [--model vit_b] [--iters 64] [--a8]
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -44,7 +45,13 @@ def timed_carry(f, x, iters, outer=5):
     dispatch (carried scan; the relay RTT amortizes to ~0). The carry is
     rescaled by a compile-time constant each step — no reduction, no sync."""
 
-    @jax.jit
+    from sam_quantization_tpu.ops.flash_attention import (
+        scoped_vmem_compiler_options,
+    )
+
+    @functools.partial(
+        jax.jit, compiler_options=scoped_vmem_compiler_options()
+    )
     def run(x):
         def body(x, _):
             y = f(x) * jnp.bfloat16(0.82)  # keep |x| bounded over 64 steps
