@@ -52,20 +52,20 @@ def main(argv=None):
     out = {"format": args.format, "part": args.part, "output": args.output}
 
     if args.format == "onnx":
-        if args.part != "decoder":
-            print("ONNX export covers the decoder (the reference's browser/"
-                  "ORT artifact); use --format stablehlo/savedmodel for the "
-                  "encoder", file=sys.stderr)
-            return 2
         from sam_quantization_tpu import export_onnx
 
-        blob = export_onnx.export_decoder_onnx(
-            model, args.output,
-            num_points=args.num_points,
-            return_single_mask=args.return_single_mask,
-            use_stability_score=args.use_stability_score,
-            stability_score_offset=args.stability_score_offset,
-        )
+        if args.part == "decoder":
+            blob = export_onnx.export_decoder_onnx(
+                model, args.output,
+                num_points=args.num_points,
+                return_single_mask=args.return_single_mask,
+                use_stability_score=args.use_stability_score,
+                stability_score_offset=args.stability_score_offset,
+            )
+        else:
+            # encoder ONNX — the reference PPQ path's artifact
+            # (script/custimized_quant.py:334-344)
+            blob = export_onnx.export_encoder_onnx(model, args.output)
         out["bytes"] = len(blob)
         out["opset"] = 11
     elif args.format == "stablehlo":

@@ -50,3 +50,22 @@ def export_decoder_onnx(
         with open(path, "wb") as f:
             f.write(blob)
     return blob
+
+
+def export_encoder_onnx(model, path: str = None) -> bytes:
+    """Serialize ``model``'s image encoder to ONNX bytes (opset 11).
+
+    Counterpart of the reference PPQ path's encoder export
+    (script/custimized_quant.py:334-344); input "input" is the NCHW
+    preprocessed image, output "image_embeddings" feeds the decoder graph.
+    """
+    from sam_quantization_tpu.export_onnx.encoder_graph import (
+        build_encoder_graph,
+    )
+
+    g = build_encoder_graph(model)
+    blob = g.build_model(opset=11).SerializeToString()
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob

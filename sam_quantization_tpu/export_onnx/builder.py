@@ -271,7 +271,8 @@ class GraphBuilder:
             self.mul(y, self.init(wv, "ln_w")), self.init(bv, "ln_b")
         )
 
-    def conv(self, x, w_hwio: np.ndarray, b: Optional[np.ndarray], stride: int):
+    def conv(self, x, w_hwio: np.ndarray, b: Optional[np.ndarray], stride: int,
+             pad: int = 0):
         """NCHW Conv from an HWIO kernel (nn/functional.py conv2d layout)."""
         w = np.ascontiguousarray(np.transpose(np.asarray(w_hwio, np.float32), (3, 2, 0, 1)))
         kh, kw = w.shape[2], w.shape[3]
@@ -280,7 +281,7 @@ class GraphBuilder:
             ins.append(self.init(np.asarray(b, np.float32), "conv_b"))
         return self.node(
             "Conv", ins, kernel_shape=[kh, kw], strides=[stride, stride],
-            pads=[0, 0, 0, 0],
+            pads=[pad, pad, pad, pad],
         )
 
     def conv_transpose(self, x, w_hwio: np.ndarray, b: Optional[np.ndarray], stride: int):

@@ -210,3 +210,35 @@ def test_onnx_export_cli(tmp_path, monkeypatch):
 
     rt = runtime.load(str(out))
     assert rt.input_names[0] == "image_embeddings"
+
+
+def test_onnx_encoder_parity(model):
+    """Encoder graph (export_onnx/encoder_graph.py — the reference PPQ
+    path's artifact, script/custimized_quant.py:334-344) evaluated by the
+    independent numpy runtime vs the JAX encoder."""
+    from sam_quantization_tpu import export_onnx
+    from sam_quantization_tpu.models import sam as sam_lib
+
+    blob = export_onnx.export_encoder_onnx(model)
+    rt = export_onnx.runtime.load(blob)
+    S = model.config.image_encoder.img_size
+    x = np.random.default_rng(11).normal(size=(1, 3, S, S)).astype(np.float32)
+    out = rt.run({"input": x})["image_embeddings"]
+    ref = np.asarray(
+        sam_lib.encode_image(model, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    ).transpose(0, 3, 1, 2)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=5e-5)
+    # feeds the decoder graph's image_embeddings input directly
+    assert out.shape[1] == model.config.prompt_encoder.embed_dim
+
+
+def test_onnx_encoder_cli(tmp_path):
+    from sam_quantization_tpu.cli import export as export_cli
+
+    out = tmp_path / "encoder.onnx"
+    rc = export_cli.main([
+        "vit_tiny", "--format", "onnx", "--part", "encoder",
+        "--output", str(out), "--platform", "cpu",
+    ])
+    assert rc == 0 and out.stat().st_size > 1000
