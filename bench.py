@@ -36,6 +36,38 @@ def _jit(f, **kw):
     return jax.jit(f, compiler_options=scoped_vmem_compiler_options(), **kw)
 
 
+V5E_BF16_PEAK = 197e12  # TPU v5e: 197 bf16 TFLOP/s, 394 int8 TOP/s
+V5E_INT8_PEAK = 394e12
+
+
+def encoder_flops(ecfg) -> float:
+    """Analytic FLOPs per image for the ViT encoder (2*M*K*N per matmul;
+    attention dots on the real padded token counts; rel-pos tiles and
+    elementwise ops excluded — <1% of total). The MFU denominator for the
+    VERDICT r4 #4 'publish MFU' item."""
+    G = ecfg.grid_size
+    C = ecfg.embed_dim
+    T = G * G
+    nh, hd = ecfg.num_heads, ecfg.head_dim
+    mlp = ecfg.mlp_dim
+    total = 2.0 * T * (ecfg.patch_size ** 2 * ecfg.in_chans) * C  # patch conv
+    for i in range(ecfg.depth):
+        ws = ecfg.block_window(i)
+        if ws > 0:
+            nw = ((G + ws - 1) // ws) ** 2
+            L = ws * ws
+            tp = nw * L  # padded token count the windowed matmuls run on
+        else:
+            nw, L, tp = 1, T, T
+        total += 2.0 * tp * C * 3 * C          # qkv
+        total += 2 * 2.0 * nw * nh * L * L * hd  # q.k and p.v dots
+        total += 2.0 * tp * C * C              # proj
+        total += 2 * 2.0 * T * C * mlp         # mlp lin1 + lin2 (unpadded)
+    out = ecfg.out_chans
+    total += 2.0 * T * C * out + 2.0 * T * 9 * out * out  # neck convs
+    return total
+
+
 def _throughput(fn, x, iters, warmup):
     for _ in range(warmup):
         r = fn(x)
@@ -455,11 +487,19 @@ def main():
     ) + ("_kpmlp" if args.keep_packed_mlp else "")
     print(f"[bench] {tag}: {q_ips:.3f} img/s", file=sys.stderr, flush=True)
 
+    flops = encoder_flops(ecfg)
     record = {
         "metric": f"sam_{args.model}_encoder_{tag}_throughput",
         "value": round(q_ips, 4),
         "unit": "images/s/chip",
         "vs_baseline": round(q_ips / fp_ips, 4),
+        # MFU (VERDICT r4 #4): img/s x analytic FLOPs/img / chip peak.
+        # The quant arm's matmuls run int8 but its flash attention is bf16,
+        # so both denominators are given for it.
+        "flops_per_image": round(flops / 1e9, 2),  # GFLOP
+        "mfu_bf16_arm": round(fp_ips * flops / V5E_BF16_PEAK, 4),
+        "mfu_quant_arm_vs_bf16_peak": round(q_ips * flops / V5E_BF16_PEAK, 4),
+        "mfu_quant_arm_vs_int8_peak": round(q_ips * flops / V5E_INT8_PEAK, 4),
         # matched-pair context (VERDICT r2 weak #7): both arms of THIS run,
         # plus the documented run-to-run band for single-run readers
         "bf16_img_s": round(fp_ips, 4),
