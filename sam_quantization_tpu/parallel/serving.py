@@ -87,11 +87,20 @@ class SamServer:
 
         size = model.config.image_encoder.img_size
 
-        @jax.jit
+        from sam_quantization_tpu.ops.flash_attention import (
+            scoped_vmem_compiler_options,
+        )
+        import functools as _ft
+
+        _jit = _ft.partial(
+            jax.jit, compiler_options=scoped_vmem_compiler_options()
+        )
+
+        @_jit
         def encode(images):
             return sam_lib.encode_image(model, sam_lib.preprocess(model, images))
 
-        @jax.jit
+        @_jit
         def decode(emb, coords, labels):
             return sam_lib.decode_masks(
                 model, emb, points=(coords, labels),

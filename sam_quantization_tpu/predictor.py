@@ -26,9 +26,27 @@ from sam_quantization_tpu.utils.transforms import ResizeLongestSide
 MAX_POINTS = 24  # padded prompt slots (reference training uses 24×3 points)
 
 
-@functools.partial(jax.jit, static_argnames=("attn_impl",))
+@functools.lru_cache(maxsize=4)
+def _encode_jit(opts_key):
+    """jit keyed on the run's scoped-vmem compiler options (read lazily so
+    a CLI's apply_scoped_vmem, which runs after import, is honored)."""
+    return jax.jit(
+        lambda model, x, attn_impl="auto": sam_lib.encode_image(
+            model, sam_lib.preprocess(model, x), attn_impl=attn_impl
+        ),
+        static_argnames=("attn_impl",),
+        compiler_options=dict(opts_key) if opts_key else None,
+    )
+
+
 def _encode(model, x, attn_impl="auto"):
-    return sam_lib.encode_image(model, sam_lib.preprocess(model, x), attn_impl=attn_impl)
+    from sam_quantization_tpu.ops.flash_attention import (
+        scoped_vmem_compiler_options,
+    )
+
+    opts = scoped_vmem_compiler_options()
+    key = tuple(sorted(opts.items())) if opts else None
+    return _encode_jit(key)(model, x, attn_impl)
 
 
 @functools.partial(

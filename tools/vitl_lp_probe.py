@@ -86,10 +86,14 @@ def main():
 
     batched = os.environ.get("SAMQ_PACKED_BATCHED", "1")
     print(f"shape NW={NW} L={L} nh={nh} hd={hd} batched={batched}")
+    bws = tuple(int(v) for v in os.environ.get("PROBE_BW", "1").split(","))
+    hsplits = tuple(
+        int(v) for v in os.environ.get("PROBE_HS", "1,2,4,8").split(",")
+    )
     results = {}
     for lp in (128, 32):
-        for hsplit in (1, 2, 4, 8):
-            for bw in (1,):
+        for hsplit in hsplits:
+            for bw in bws:
                 ms, err = run_arm(lp, hsplit, bw)
                 tag = f"lp{lp}_hs{hsplit}_bw{bw}"
                 if ms is None:
