@@ -360,3 +360,52 @@ def test_autotune_candidates_and_table(tmp_path):
     autotune.load_table(path)
     assert autotune.lookup(4096, 1280, 3840, 128, 4) == (256, 256, 512)
     autotune._table = None  # reset global for other tests
+
+
+def test_clamp_window_canary():
+    """check_clamp_window (advisor r4: a runtime canary that calibrated
+    logit ranges stay inside the serving kernels' clamp window)."""
+    import warnings
+
+    from sam_quantization_tpu.ops.flash_attention import (
+        _CLAMP_CAPE, _CLAMP_FLOORE,
+    )
+    from sam_quantization_tpu.quant.act_scales import check_clamp_window
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert check_clamp_window(0.0, _CLAMP_CAPE - 1.0)  # in-window: silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert not check_clamp_window(_CLAMP_FLOORE - 5.0, 10.0)
+        assert not check_clamp_window(0.0, _CLAMP_CAPE + 5.0)
+        assert len(w) == 2
+    # quiet mode for programmatic checks
+    assert not check_clamp_window(_CLAMP_FLOORE - 1.0, 1.0, warn=False)
+
+
+def test_calibration_emits_clamp_canary_warning(rng):
+    """calibrate_act_scales observes eager attention logits; a model whose
+    logits leave the clamp window must warn at calibration time."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from sam_quantization_tpu.models import image_encoder
+    from sam_quantization_tpu.models.configs import VIT_TINY
+    from sam_quantization_tpu.quant.act_scales import calibrate_act_scales
+
+    ecfg = VIT_TINY.image_encoder
+    params = image_encoder.init(jax.random.PRNGKey(0), ecfg)
+    # blow up the first block's qkv so attention logits leave the window
+    params["blocks"][0]["attn"]["qkv"]["w"] = (
+        params["blocks"][0]["attn"]["qkv"]["w"] * 400.0
+    )
+    x = jnp.asarray(rng.normal(size=(1, ecfg.img_size, ecfg.img_size, 3)),
+                    jnp.float32) * 3.0
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        scales = calibrate_act_scales(params, ecfg, [x])
+    assert scales  # calibration itself still succeeds
+    assert any("clamp" in str(x.message) for x in w)
