@@ -144,7 +144,17 @@ def scoped_vmem_compiler_options() -> Optional[dict]:
     (bench.py, cli) set the env + pass these options for 1024-wide models.
     """
     kib = _scoped_vmem_kib()
-    return {"xla_tpu_scoped_vmem_limit_kib": str(kib)} if kib else None
+    if not kib:
+        return None
+    try:
+        # TPU-only DebugOptions field: the CPU compiler rejects it with
+        # "No such compile option" — a CPU run with the env set (e.g. a
+        # correctness drive next to a TPU bench) must not crash.
+        if jax.default_backend() != "tpu":
+            return None
+    except Exception:  # pragma: no cover
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": str(kib)}
 
 
 def _psoft(s, exp2: bool, clamp: bool):
