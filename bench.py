@@ -28,16 +28,37 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 def _jit(f, **kw):
     """jax.jit + the run's scoped-vmem compiler options (ViT-L Lp=224
-    needs the raised limit; ops/flash_attention.scoped_vmem_compiler_options)."""
-    from sam_quantization_tpu.ops.flash_attention import (
-        scoped_vmem_compiler_options,
-    )
+    needs the raised limit; ops/flash_attention.scoped_jit)."""
+    from sam_quantization_tpu.ops.flash_attention import scoped_jit
 
-    return jax.jit(f, compiler_options=scoped_vmem_compiler_options(), **kw)
+    return scoped_jit(f, **kw)
 
 
 V5E_BF16_PEAK = 197e12  # TPU v5e: 197 bf16 TFLOP/s, 394 int8 TOP/s
 V5E_INT8_PEAK = 394e12
+
+# device_kind (prefix-matched, lowercase) -> (bf16 FLOP/s, int8 OP/s).
+# MFU is only emitted when the attached chip is recognized — a v4/v6e run
+# must not silently publish v5e-denominated utilization.
+_CHIP_PEAKS = {
+    "tpu v5 lite": (V5E_BF16_PEAK, V5E_INT8_PEAK, "v5e"),
+    "tpu v5e": (V5E_BF16_PEAK, V5E_INT8_PEAK, "v5e"),
+    "tpu v4": (275e12, 275e12, "v4"),  # v4 has no int8 double-rate
+    "tpu v6 lite": (918e12, 1836e12, "v6e"),
+    "tpu v6e": (918e12, 1836e12, "v6e"),
+}
+
+
+def chip_peaks():
+    """(bf16_peak, int8_peak, name) for the attached chip, or None."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return None
+    for prefix, peaks in _CHIP_PEAKS.items():
+        if kind.startswith(prefix):
+            return peaks
+    return None
 
 
 def encoder_flops(ecfg) -> float:
@@ -497,9 +518,6 @@ def main():
         # The quant arm's matmuls run int8 but its flash attention is bf16,
         # so both denominators are given for it.
         "flops_per_image": round(flops / 1e9, 2),  # GFLOP
-        "mfu_bf16_arm": round(fp_ips * flops / V5E_BF16_PEAK, 4),
-        "mfu_quant_arm_vs_bf16_peak": round(q_ips * flops / V5E_BF16_PEAK, 4),
-        "mfu_quant_arm_vs_int8_peak": round(q_ips * flops / V5E_INT8_PEAK, 4),
         # matched-pair context (VERDICT r2 weak #7): both arms of THIS run,
         # plus the documented run-to-run band for single-run readers
         "bf16_img_s": round(fp_ips, 4),
@@ -508,6 +526,15 @@ def main():
                              "±5-7% — same-run vs_baseline is the honest "
                              "comparator (BENCHMARKS.md honesty box)",
     }
+    peaks = chip_peaks()
+    if peaks is not None:
+        bf16_peak, int8_peak, chip = peaks
+        record.update({
+            "mfu_chip": chip,
+            "mfu_bf16_arm": round(fp_ips * flops / bf16_peak, 4),
+            "mfu_quant_arm_vs_bf16_peak": round(q_ips * flops / bf16_peak, 4),
+            "mfu_quant_arm_vs_int8_peak": round(q_ips * flops / int8_peak, 4),
+        })
     if len(q_runs) > 1:
         record["quant_img_s_runs"] = [round(v, 4) for v in q_runs]
         record["quant_img_s_spread"] = round(max(q_runs) - min(q_runs), 4)

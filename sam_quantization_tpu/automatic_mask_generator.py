@@ -70,6 +70,10 @@ class SamAutomaticMaskGenerator:
         self.min_mask_region_area = min_mask_region_area
         self.output_mode = output_mode
         self._dp_sharding = None
+        # distinct original sizes the packed fast path has compiled for
+        # (see _process_batch: each size is a fresh whole-program compile)
+        self._packed_sizes: set = set()
+        self._packed_size_cap = 4
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -185,6 +189,19 @@ class SamAutomaticMaskGenerator:
             and tuple(im_size) == tuple(orig_size)
             and os.environ.get("SAMQ_AMG_PACKED") != "0"
         )
+        if full_crop:
+            # _batched_decode_packed compiles the whole decode+postprocess
+            # per DISTINCT original size (static shapes). A fixed-size
+            # serving stream pays one compile; a mixed-size dataset would
+            # recompile per image and grow the jit cache unboundedly — cap
+            # the distinct sizes this instance compiles for and fall back
+            # to the general path past the cap.
+            sz = (int(orig_h), int(orig_w))
+            if sz not in self._packed_sizes:
+                if len(self._packed_sizes) >= self._packed_size_cap:
+                    full_crop = False
+                else:
+                    self._packed_sizes.add(sz)
         if full_crop:
             packed, iou_p, stab, boxes = _batched_decode_packed(
                 self.predictor.model,

@@ -125,13 +125,10 @@ def main(argv=None):
     attn = "xla" if ctx is not None else "auto"
     if args.benchmark:
         # counterpart of bench_speed (gptq4sam_infer.py:59-79)
-        from sam_quantization_tpu.ops.flash_attention import (
-            scoped_vmem_compiler_options,
-        )
+        from sam_quantization_tpu.ops.flash_attention import scoped_jit
 
-        fn = jax.jit(
-            lambda x: sam_lib.encode_image(model, x, use_ctx, attn_impl=attn),
-            compiler_options=scoped_vmem_compiler_options(),
+        fn = scoped_jit(
+            lambda x: sam_lib.encode_image(model, x, use_ctx, attn_impl=attn)
         )
         x = jnp.zeros((1, size, size, 3), jnp.bfloat16)
         for _ in range(args.bench_warmup):

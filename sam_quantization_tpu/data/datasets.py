@@ -272,7 +272,9 @@ def get_dataset(name: str, dataset_path: Optional[str] = None, cfg=None):
     }
     if key not in factories:
         return None
-    path = dataset_path or config_lib.dataset_path(cfg, name)
+    # SBD train/val splits share one dataset root (SBD_PATH)
+    path_name = "SBD" if key == "SBD_TRAIN" else name
+    path = dataset_path or config_lib.dataset_path(cfg, path_name)
     return factories[key](path)
 
 

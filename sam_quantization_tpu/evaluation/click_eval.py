@@ -56,17 +56,10 @@ class ClickEvalResult:
 
 def make_sam_backend(model: sam_lib.Sam, ctx=None, attn_impl: str = "auto"):
     """(encode, decode) closures over a Sam pytree, jit-compiled."""
-    import functools
-
-    from sam_quantization_tpu.ops.flash_attention import (
-        scoped_vmem_compiler_options,
-    )
+    from sam_quantization_tpu.ops.flash_attention import scoped_jit as _jit
     from sam_quantization_tpu.quant.context import NULL_CTX
 
     ctx = ctx or NULL_CTX
-    _jit = functools.partial(
-        jax.jit, compiler_options=scoped_vmem_compiler_options()
-    )
 
     @_jit
     def encode(x):

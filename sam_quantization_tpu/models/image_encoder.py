@@ -670,15 +670,21 @@ def make_per_block_apply(cfg: ImageEncoderConfig, attn_impl: str = "auto"):
     programs and loops on host. Costs one dispatch per block; numerics are
     identical to :func:`apply`.
     """
-    embed_fn = jax.jit(lambda p, x: embed(p, x, cfg))
-    neck_fn = jax.jit(lambda p, x: neck(p, x, cfg))
+    # scoped_jit: the packed flash kernel's Lp=224 gate reads
+    # SAMQ_SCOPED_VMEM_KIB, so these block jits must compile under the
+    # matching raised scoped-vmem limit (a bare jax.jit would hit the
+    # round-4 ViT-L compile failure when the env is set).
+    from sam_quantization_tpu.ops.flash_attention import scoped_jit
+
+    embed_fn = scoped_jit(lambda p, x: embed(p, x, cfg))
+    neck_fn = scoped_jit(lambda p, x: neck(p, x, cfg))
     block_fns = {}
 
     def block_fn(i: int):
         ws = cfg.block_window(i)
         if ws not in block_fns:
             slot = i  # any block index with this window size traces the same
-            block_fns[ws] = jax.jit(
+            block_fns[ws] = scoped_jit(
                 lambda bp, x, slot=slot: block_apply(
                     bp, x, cfg, slot, NULL_CTX, attn_impl=attn_impl
                 )

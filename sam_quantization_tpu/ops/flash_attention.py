@@ -157,6 +157,24 @@ def scoped_vmem_compiler_options() -> Optional[dict]:
     return {"xla_tpu_scoped_vmem_limit_kib": str(kib)}
 
 
+def scoped_jit(f, **kw):
+    """``jax.jit`` that pairs every encoder-compiling jit with the run's
+    scoped-vmem compiler options.
+
+    The Lp=224 tight padding engages (partly) on SAMQ_SCOPED_VMEM_KIB, so
+    ANY jit that can trace the packed flash kernel must compile under the
+    matching raised limit — a bare ``jax.jit`` would reintroduce the
+    round-4 ViT-L scoped-vmem compile failure. Use this helper instead of
+    hand-pairing ``compiler_options=scoped_vmem_compiler_options()`` at
+    each site (the omissions were unfindable by grep otherwise)."""
+    opts = scoped_vmem_compiler_options()
+    if opts:
+        merged = dict(kw.pop("compiler_options", None) or {})
+        merged.update(opts)
+        kw["compiler_options"] = merged
+    return jax.jit(f, **kw)
+
+
 def _psoft(s, exp2: bool, clamp: bool):
     """Unnormalized softmax numerator (p <= 1), max-subtracted or clamped."""
     if clamp:

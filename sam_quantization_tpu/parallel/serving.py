@@ -87,14 +87,7 @@ class SamServer:
 
         size = model.config.image_encoder.img_size
 
-        from sam_quantization_tpu.ops.flash_attention import (
-            scoped_vmem_compiler_options,
-        )
-        import functools as _ft
-
-        _jit = _ft.partial(
-            jax.jit, compiler_options=scoped_vmem_compiler_options()
-        )
+        from sam_quantization_tpu.ops.flash_attention import scoped_jit as _jit
 
         @_jit
         def encode(images):
@@ -213,8 +206,10 @@ class MultiHostSamServer:
             f"global batch {self._global_batch} must divide over dp={dp}"
         )
 
+        from sam_quantization_tpu.ops.flash_attention import scoped_jit
+
         @functools.partial(
-            jax.jit, out_shardings=NamedSharding(mesh, P("dp"))
+            scoped_jit, out_shardings=NamedSharding(mesh, P("dp"))
         )
         def run(images, coords, labels):
             emb = sam_lib.encode_image(

@@ -28,9 +28,12 @@ class InputAmaxCtx(NullCtx):
 
     def __init__(self):
         self.amax: Dict[str, jax.Array] = {}
-        # path -> (min over rows of the row-max logit, abs-max logit);
+        # path -> (min over rows of the row-max logit, max logit);
         # observed at the eager path's post-bias point (rel_pos_qact) and
         # pre-bias point (qact_attn1) — post-bias wins when present.
+        # The cap check wants the POSITIVE max (large-magnitude negative
+        # logits clip to the floor, where clamped softmax is already exact
+        # to ~2^-124 — abs-max would false-positive on them).
         self.logit_stats: Dict[str, Tuple[jax.Array, jax.Array]] = {}
 
     def linear(self, path, p, x):
@@ -41,12 +44,12 @@ class InputAmaxCtx(NullCtx):
         if path.endswith("rel_pos_qact") or path.endswith("qact_attn1"):
             xf = x.astype(jnp.float32)
             rowmax = jnp.max(xf, axis=-1)
-            self.logit_stats[path] = (jnp.min(rowmax), jnp.max(jnp.abs(xf)))
+            self.logit_stats[path] = (jnp.min(rowmax), jnp.max(xf))
         return x
 
 
 def check_clamp_window(
-    min_rowmax: float, absmax: float, warn: bool = True
+    min_rowmax: float, max_logit: float, warn: bool = True
 ) -> bool:
     """Canary for the serving kernels' clamped softmax (advisor round-4).
 
@@ -72,11 +75,14 @@ def check_clamp_window(
                 f"kernels. Serve with SAMQ_FLASH_CLAMP=0 or recalibrate.",
                 stacklevel=2,
             )
-    if absmax > _CLAMP_CAPE:
+    if max_logit > _CLAMP_CAPE:
+        # Only logits ABOVE the cap break exactness (the row's true max is
+        # lost to the clip); large-magnitude NEGATIVE logits clip to the
+        # floor where the clamped softmax is already exact to ~2^-124.
         ok = False
         if warn:
             warnings.warn(
-                f"attention logit abs-max {absmax:.1f} exceeds the "
+                f"attention logit max {max_logit:.1f} exceeds the "
                 f"clamped-softmax cap {_CLAMP_CAPE:.1f} — out-of-range rows "
                 f"squash toward uniform under the serving kernels. Serve "
                 f"with SAMQ_FLASH_CLAMP=0 or recalibrate.",
@@ -106,18 +112,15 @@ def calibrate_act_scales(
         return ctx.amax, ctx.logit_stats
 
     acc: Dict[str, float] = {}
-    min_rowmax, absmax = float("inf"), 0.0
-    post_bias_seen = False
+    min_rowmax, max_logit = float("inf"), float("-inf")
     for x in batches:
         out, stats = run(params, x)
         for k, v in out.items():
             acc[k] = max(acc.get(k, 0.0), float(v))
         post = {k: v for k, v in stats.items() if k.endswith("rel_pos_qact")}
-        if post:
-            post_bias_seen = True
         for mn, mx in (post or stats).values():
             min_rowmax = min(min_rowmax, float(mn))
-            absmax = max(absmax, float(mx))
-    if clamp_canary and absmax > 0.0 and (post_bias_seen or min_rowmax < float("inf")):
-        check_clamp_window(min_rowmax, absmax)
+            max_logit = max(max_logit, float(mx))
+    if clamp_canary and min_rowmax < float("inf"):
+        check_clamp_window(min_rowmax, max_logit)
     return {k: v * margin for k, v in acc.items()}

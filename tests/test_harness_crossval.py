@@ -82,10 +82,15 @@ def test_click_harness_agrees_with_reference_torch_loop():
     assert gap_fork < 1e-2, (ours.mean_ious, theirs_fork.tolist())
     # upstream-intent oracle (the einsum rel_w the fork commented out,
     # which this framework implements): agreement is essentially exact
-    torch_harness.install_upstream_rel_pos()
-    theirs = torch_harness.reference_click_loop(
-        tsam, samples, ours.clicks, num_clicks=3
-    )
+    uninstall = torch_harness.install_upstream_rel_pos()
+    try:
+        theirs = torch_harness.reference_click_loop(
+            tsam, samples, ours.clicks, num_clicks=3
+        )
+    finally:
+        # the patch mutates the shared segment_anything module — restore so
+        # later same-process fork-behavior measurements stay honest
+        uninstall()
     theirs_mean = np.asarray(theirs).mean(axis=0)
     gap = np.max(np.abs(np.asarray(ours.mean_ious) - theirs_mean))
     assert gap < 1e-3, (ours.mean_ious, theirs_mean.tolist())

@@ -375,6 +375,21 @@ def test_clamp_window_canary():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         assert check_clamp_window(0.0, _CLAMP_CAPE - 1.0)  # in-window: silent
+        # large-magnitude NEGATIVE logits are exact under the clamp (they
+        # clip to the floor of an already-negligible tail) — the observer
+        # records the POSITIVE max for the cap check, so a -50 tail with an
+        # in-window row max must stay silent (a prior abs-max formulation
+        # false-positived here)
+        import numpy as np
+
+        from sam_quantization_tpu.quant.act_scales import InputAmaxCtx
+
+        ctx = InputAmaxCtx()
+        logits = np.full((2, 4, 8), -50.0, np.float32)
+        logits[:, :, 0] = 5.0  # every row's max is in-window
+        ctx.act("blocks.0.attn.rel_pos_qact", logits)
+        mn, mx = ctx.logit_stats["blocks.0.attn.rel_pos_qact"]
+        assert check_clamp_window(float(mn), float(mx))
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         assert not check_clamp_window(_CLAMP_FLOORE - 5.0, 10.0)

@@ -45,13 +45,9 @@ def timed_carry(f, x, iters, outer=5):
     dispatch (carried scan; the relay RTT amortizes to ~0). The carry is
     rescaled by a compile-time constant each step — no reduction, no sync."""
 
-    from sam_quantization_tpu.ops.flash_attention import (
-        scoped_vmem_compiler_options,
-    )
+    from sam_quantization_tpu.ops.flash_attention import scoped_jit
 
-    @functools.partial(
-        jax.jit, compiler_options=scoped_vmem_compiler_options()
-    )
+    @scoped_jit
     def run(x):
         def body(x, _):
             y = f(x) * jnp.bfloat16(0.82)  # keep |x| bounded over 64 steps

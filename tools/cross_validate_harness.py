@@ -100,25 +100,31 @@ def main(argv=None):
     print("theirs (fork rel_w bug)     :", [f"{v:.4f}" for v in theirs_fork])
     # Upstream-intent oracle for all remaining passes: the einsum rel_w the
     # fork commented out, which this framework implements.
-    torch_harness.install_upstream_rel_pos()
-    theirs = {}
-    for layout in ("literal", "slots"):
-        ious = torch_harness.reference_click_loop(
+    uninstall = torch_harness.install_upstream_rel_pos()
+    try:
+        theirs = {}
+        for layout in ("literal", "slots"):
+            ious = torch_harness.reference_click_loop(
+                tsam, samples, ours.clicks, num_clicks=args.num_clicks,
+                point_layout=layout,
+            )
+            theirs[layout] = np.asarray(ious).mean(axis=0)
+            print(f"theirs (ref torch, {layout:7s}):",
+                  [f"{v:.4f}" for v in theirs[layout]])
+        # Teacher-forced replay (VERDICT r4 #2): feed the torch loop OUR
+        # recorded low-res masks at every click, so the two stacks see
+        # identical inputs per click and the gap cannot compound through the
+        # click cascade. The residual is pure single-forward numeric drift.
+        tf_ious, tf_low_res = torch_harness.reference_click_loop(
             tsam, samples, ours.clicks, num_clicks=args.num_clicks,
-            point_layout=layout,
+            point_layout="literal", mask_override=ours.low_res,
+            return_low_res=True,
         )
-        theirs[layout] = np.asarray(ious).mean(axis=0)
-        print(f"theirs (ref torch, {layout:7s}):",
-              [f"{v:.4f}" for v in theirs[layout]])
-    # Teacher-forced replay (VERDICT r4 #2): feed the torch loop OUR
-    # recorded low-res masks at every click, so the two stacks see identical
-    # inputs per click and the gap cannot compound through the click
-    # cascade. The residual is pure single-forward numeric drift.
-    tf_ious, tf_low_res = torch_harness.reference_click_loop(
-        tsam, samples, ours.clicks, num_clicks=args.num_clicks,
-        point_layout="literal", mask_override=ours.low_res,
-        return_low_res=True,
-    )
+    finally:
+        # restore the fork's as-committed rel_w (the patch mutates the
+        # shared segment_anything module — a later same-process
+        # fork-behavior pass must not silently see upstream semantics)
+        uninstall()
     theirs_tf = np.asarray(tf_ious).mean(axis=0)
     print("theirs (teacher-forced)     :", [f"{v:.4f}" for v in theirs_tf])
 

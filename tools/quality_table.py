@@ -323,8 +323,16 @@ def main(argv=None):
             row["attn_impl"] = args.attn_impl
         base_name = base_of.get(name)
         base = prev_rows.get(base_name) or rows.get(base_name)
+        ck = f"click{args.num_clicks}_miou"
+        if base_name and base and ck not in base:
+            # --merge base row from a file produced with a different
+            # --num-clicks: skip the CI check rather than KeyError after
+            # the (expensive) evaluation already ran
+            print(f"  {name}: base row {base_name} has no {ck} "
+                  f"(different --num-clicks run) — CI check skipped",
+                  flush=True)
+            base = None
         if base_name and base:
-            ck = f"click{args.num_clicks}_miou"
             checks = {}
             for key, ci_key in ((ck, f"click{args.num_clicks}_ci95"),
                                 ("noc@90", "noc@90_ci95")):
@@ -362,13 +370,18 @@ def main(argv=None):
         with open(args.out) as f:
             out = json.load(f)
         out["rows"] = merged
+    out["ci_ok"] = bool(all_within)
     if not all_within:
         print("WARNING: a kernel-path row left its base row's CI95",
               flush=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
-    print(json.dumps({"status": "ok", "out": args.out}))
-    return 0
+    # status + exit code reflect the CI gate so scripted consumers can't
+    # record a regressed kernel row as a pass
+    print(json.dumps(
+        {"status": "ok" if all_within else "ci_fail", "out": args.out}
+    ))
+    return 0 if all_within else 1
 
 
 if __name__ == "__main__":

@@ -115,10 +115,21 @@ def install_upstream_rel_pos():
     This framework implements the upstream einsum semantics
     (models/image_encoder.decomposed_rel_pos_tiles); call this to make the
     oracle match intent, or skip it to measure the fork-behavior delta.
+
+    Returns an ``uninstall()`` callable restoring the fork's as-committed
+    function — the patch mutates the SHARED segment_anything module, so a
+    later fork-behavior measurement in the same process would silently see
+    upstream semantics unless restored (use try/finally around the
+    upstream-semantics section).
     """
     torch = _import_reference_torch()
 
     import segment_anything.modeling.image_encoder as ref_ie
+
+    fork_fn = ref_ie.add_decomposed_rel_pos
+
+    def uninstall():
+        ref_ie.add_decomposed_rel_pos = fork_fn
 
     get_rel_pos = ref_ie.get_rel_pos
 
@@ -139,6 +150,7 @@ def install_upstream_rel_pos():
         ).view(B, q_h * q_w, k_h * k_w)
 
     ref_ie.add_decomposed_rel_pos = upstream_add_decomposed_rel_pos
+    return uninstall
 
 
 def build_reference_torch_sam(cfg, state_dict: dict):
