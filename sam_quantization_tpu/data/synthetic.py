@@ -32,17 +32,102 @@ def random_blob_mask(rng: np.random.Generator, size: int, n_ellipses: int = 3):
 
 
 def synthetic_samples(
-    n: int, size: int = 1024, seed: int = 0
+    n: int, size: int = 1024, seed: int = 0, style: str = "easy"
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Yield (image (1, size, size, 3) float32 RGB [0,255], gt mask (size, size))."""
+    """Yield (image (1, size, size, 3) float32 RGB [0,255], gt mask (size, size)).
+
+    ``style``:
+      - "easy" (default): one solid-color blob on a solid background —
+        saturates a trained model's 5-click mIoU near 0.94, so the quality
+        table's quant deltas compress to ~0.001 there.
+      - "hard": 3–6 objects with the GT being ONE target instance among
+        distractors of similar color, on a low-frequency textured gradient
+        background, with reduced target/background contrast and per-object
+        texture. Discriminates quant configs where "easy" cannot (a model
+        trained on these lands mid-range, leaving headroom in BOTH
+        directions for quantization to move).
+    """
     rng = np.random.default_rng(seed)
     for _ in range(n):
-        mask = random_blob_mask(rng, size)
-        bg = rng.uniform(40, 200, size=3)
-        fg = rng.uniform(40, 200, size=3)
-        img = np.empty((size, size, 3), np.float32)
-        img[:] = bg
-        img[mask] = fg
-        img += rng.normal(0, 12, img.shape)
+        if style == "easy":
+            mask = random_blob_mask(rng, size)
+            bg = rng.uniform(40, 200, size=3)
+            fg = rng.uniform(40, 200, size=3)
+            img = np.empty((size, size, 3), np.float32)
+            img[:] = bg
+            img[mask] = fg
+            img += rng.normal(0, 12, img.shape)
+        elif style == "hard":
+            img, mask = _hard_scene(rng, size)
+        else:
+            raise ValueError(f"unknown synthetic style {style!r}")
         img = np.clip(img, 0, 255).astype(np.float32)
         yield img[None], mask.astype(np.int32)
+
+
+def _smooth_noise(rng: np.random.Generator, size: int, periods=(2, 5, 9)):
+    """Low-frequency texture in [-1, 1]: a few random-phase sinusoid products
+    (cheap, seeded, no scipy)."""
+    yy, xx = np.mgrid[0:size, 0:size] / size
+    out = np.zeros((size, size), np.float32)
+    for p in periods:
+        ax, ay = rng.uniform(0, 2 * np.pi, 2)
+        fx, fy = rng.uniform(0.6, 1.4, 2) * p
+        out += np.sin(2 * np.pi * fx * xx + ax) * np.sin(2 * np.pi * fy * yy + ay)
+    return out / len(periods)
+
+
+def _blob_at(rng: np.random.Generator, size: int, cx0, cy0, scale=1.0,
+             n_ellipses: int = 3):
+    """Union of ellipses centered near (cx0, cy0)."""
+    yy, xx = np.mgrid[0:size, 0:size]
+    mask = np.zeros((size, size), bool)
+    for _ in range(n_ellipses):
+        cx = cx0 + rng.uniform(-0.10, 0.10) * size
+        cy = cy0 + rng.uniform(-0.10, 0.10) * size
+        a = rng.uniform(0.05, 0.16) * size * scale
+        b = rng.uniform(0.05, 0.16) * size * scale
+        th = rng.uniform(0, np.pi)
+        x, y = xx - cx, yy - cy
+        xr = x * np.cos(th) + y * np.sin(th)
+        yr = -x * np.sin(th) + y * np.cos(th)
+        mask |= (xr / max(a, 1e-6)) ** 2 + (yr / max(b, 1e-6)) ** 2 <= 1.0
+    return mask
+
+
+def _hard_scene(rng: np.random.Generator, size: int, _tries: int = 8):
+    """Target instance + 2–5 similar-color distractors on a textured
+    gradient background; later objects occlude earlier ones (the GT excludes
+    occluded target pixels, like overlapping SBD instances)."""
+    # background: gradient + low-frequency texture
+    g0 = rng.uniform(60, 180, size=3)
+    g1 = rng.uniform(60, 180, size=3)
+    t = (np.mgrid[0:size, 0:size][rng.integers(2)] / size)[..., None]
+    img = (g0[None, None] * (1 - t) + g1[None, None] * t).astype(np.float32)
+    for c in range(3):
+        img[..., c] += 22.0 * _smooth_noise(rng, size)
+
+    # objects: target first, then distractors drawn ON TOP (occluders)
+    n_obj = int(rng.integers(3, 7))
+    base = rng.uniform(60, 180, size=3)  # family color — distractors resemble
+    target = None
+    for i in range(n_obj):
+        cx0, cy0 = rng.uniform(0.2 * size, 0.8 * size, 2)
+        m = _blob_at(rng, size, cx0, cy0,
+                     scale=1.0 if i == 0 else rng.uniform(0.5, 1.0))
+        # similar colors: family color + small per-object offset; modest
+        # contrast vs background (the gradient spans the same range)
+        col = np.clip(base + rng.uniform(-25, 25, size=3), 0, 255)
+        tex = 14.0 * _smooth_noise(rng, size, periods=(7, 13))
+        for c in range(3):
+            img[..., c] = np.where(m, col[c] + tex, img[..., c])
+        if i == 0:
+            target = m
+        else:
+            target = target & ~m  # occlusion: later objects cover the target
+    img += rng.normal(0, 10, img.shape)
+    # keep the target a real object: if occluders erased it, retry the scene
+    # (bounded — seeded rng advances each try, so retries differ)
+    if target.sum() < 0.003 * size * size and _tries > 0:
+        return _hard_scene(rng, size, _tries - 1)
+    return img, target

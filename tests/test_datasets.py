@@ -104,3 +104,32 @@ def test_get_dataset_registry(tmp_path):
     assert isinstance(ds2, ds_lib.CocoMvalDataset)
     # unknown names return None (generic-folder fallback is the caller's)
     assert ds_lib.get_dataset("NotABenchmark", str(tmp_path)) is None
+
+
+def test_get_dataset_sbd_train_default_path(tmp_path):
+    """SBD_train resolves the shared SBD_PATH registry key (it has no
+    SBD_TRAIN_PATH of its own — review round-5 finding: this KeyError'd)."""
+    (tmp_path / "train.txt").write_text("")
+    (tmp_path / "val.txt").write_text("")
+    ds = ds_lib.get_dataset("SBD_train", cfg={"SBD_PATH": str(tmp_path)})
+    assert isinstance(ds, ds_lib.SBDDataset)
+    assert ds.split == "train"
+
+
+def test_synthetic_hard_scenes():
+    """'hard' style: deterministic, contract-identical to 'easy', with a
+    non-empty target and multi-object scenes (distractor pixels exist that
+    share the object color family but are NOT the target)."""
+    from sam_quantization_tpu.data.synthetic import synthetic_samples
+
+    a = list(synthetic_samples(4, 96, seed=11, style="hard"))
+    b = list(synthetic_samples(4, 96, seed=11, style="hard"))
+    for (ia, ga), (ib, gb) in zip(a, b):
+        assert ia.shape == (1, 96, 96, 3) and ga.shape == (96, 96)
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ga, gb)
+        frac = ga.mean()
+        assert 0.003 <= frac <= 0.5  # target present, not the whole image
+    # differs from easy (same seed): hard scenes are a new distribution
+    easy = next(iter(synthetic_samples(1, 96, seed=11, style="easy")))
+    assert not np.array_equal(easy[0], a[0][0][None][0])

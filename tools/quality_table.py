@@ -32,6 +32,9 @@ def parse_args(argv=None):
     p.add_argument("--num-clicks", type=int, default=5)
     p.add_argument("--noc-clicks", type=int, default=12)
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    p.add_argument("--scenes", default="easy", choices=["easy", "hard"],
+                   help="synthetic scene style — must match the checkpoint's "
+                        "training distribution (tools/train_synthetic --scenes)")
     p.add_argument("--out", default="QUALITY.json")
     p.add_argument(
         "--configs", nargs="*",
@@ -81,14 +84,14 @@ def main(argv=None):
     print(f"loaded {args.ckpt}/{args.name} (step {step})")
 
     eval_samples = [
-        (img, gt) for img, gt in synthetic_samples(args.eval_samples, size, seed=9999)
+        (img, gt) for img, gt in synthetic_samples(args.eval_samples, size, seed=9999, style=args.scenes)
     ]
     calib_imgs = [
         sam_lib.preprocess(model, jnp.asarray(img))
-        for img, _ in synthetic_samples(args.calib_samples, size, seed=777)
+        for img, _ in synthetic_samples(args.calib_samples, size, seed=777, style=args.scenes)
     ]
     calib_sam = [
-        (img, gt) for img, gt in synthetic_samples(args.calib_samples, size, seed=777)
+        (img, gt) for img, gt in synthetic_samples(args.calib_samples, size, seed=777, style=args.scenes)
     ]
 
     def _bf16_encoder():

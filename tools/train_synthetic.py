@@ -39,6 +39,10 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--pool", type=int, default=512,
                    help="training-scene pool size (bigger = less memorization)")
+    p.add_argument("--scenes", default="easy", choices=["easy", "hard"],
+                   help="synthetic scene style (data/synthetic.py): 'hard' = "
+                        "multi-object distractor scenes that do NOT saturate "
+                        "the click metrics, for a discriminating quality table")
     return p.parse_args(argv)
 
 
@@ -80,11 +84,11 @@ def main(argv=None):
     # data: a fixed pool of training scenes (seeded), held-out eval scenes
     # from a disjoint seed
     pool = [
-        (img[0], gt) for img, gt in synthetic_samples(args.pool, size, seed=args.seed + 1)
+        (img[0], gt) for img, gt in synthetic_samples(args.pool, size, seed=args.seed + 1, style=args.scenes)
     ]
     eval_samples = [
         (img, gt)
-        for img, gt in synthetic_samples(args.eval_samples, size, seed=9999)
+        for img, gt in synthetic_samples(args.eval_samples, size, seed=9999, style=args.scenes)
     ]
     rng = np.random.default_rng(args.seed + 2)
 
