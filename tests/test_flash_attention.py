@@ -477,3 +477,30 @@ def test_flash_train_grads_match_eager():
     )(q, k, v)
     for a, b in zip(gf2, ge2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_scoped_jit_cpu_noop_and_passthrough(monkeypatch):
+    """scoped_jit (review round-5): with SAMQ_SCOPED_VMEM_KIB set on a CPU
+    backend the TPU-only compile option must NOT be passed (CPU rejects it),
+    and jit kwargs must pass through. Every encoder-compiling jit routes
+    through this helper so the Lp=224 gate and the raised limit stay paired."""
+    from sam_quantization_tpu.ops import flash_attention as fa
+
+    monkeypatch.setenv("SAMQ_SCOPED_VMEM_KIB", "24576")
+    # CPU backend: options gate returns None (TPU-only DebugOptions field)
+    assert fa.scoped_vmem_compiler_options() is None
+    f = fa.scoped_jit(lambda x, n: x * n, static_argnames=("n",))
+    np.testing.assert_allclose(np.asarray(f(jnp.ones((4,)), n=3)), 3.0)
+    # per-block apply (the round-5 pairing fix) compiles under the env too
+    from sam_quantization_tpu.models import image_encoder
+    from sam_quantization_tpu.models.configs import VIT_TINY
+
+    ecfg = VIT_TINY.image_encoder
+    params = image_encoder.init(jax.random.PRNGKey(0), ecfg)
+    run = image_encoder.make_per_block_apply(ecfg)
+    x = jnp.zeros((1, ecfg.img_size, ecfg.img_size, 3), jnp.float32)
+    out = run(params, x)
+    ref = image_encoder.apply(params, x, ecfg)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-5
+    )
