@@ -18,7 +18,8 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--load", default=None, help="quantized artifact dir")
     p.add_argument("--datasets", default="synthetic",
-                   help="comma list: synthetic,GrabCut,Berkeley,DAVIS,"
+                   help="comma list: synthetic,synthetic_hard,"
+                        "GrabCut,Berkeley,DAVIS,"
                         "COCO_MVal,PascalVOC,SBD,<folder-name> (named "
                         "benchmarks resolve their path from config.yml "
                         "unless --dataset-path overrides; flag parity with "
@@ -89,9 +90,13 @@ def main(argv=None):
         encode, decode = click_eval.make_sam_backend(model)
 
     for name in args.datasets.split(","):
-        if name == "synthetic":
-            def samples():
-                yield from synthetic_samples(args.num_samples, size, 0)
+        if name in ("synthetic", "synthetic_hard"):
+            style = "hard" if name.endswith("_hard") else "easy"
+
+            def samples(style=style):
+                yield from synthetic_samples(
+                    args.num_samples, size, 0, style=style
+                )
         else:
             # named benchmark registry (GrabCut/Berkeley/DAVIS/COCO_MVal/
             # PascalVOC/SBD — ref inference/utils.py:48-66), else a generic

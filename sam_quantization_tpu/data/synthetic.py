@@ -107,17 +107,24 @@ def _hard_scene(rng: np.random.Generator, size: int, _tries: int = 8):
     for c in range(3):
         img[..., c] += 22.0 * _smooth_noise(rng, size)
 
-    # objects: target first, then distractors drawn ON TOP (occluders)
+    # objects: target first, then distractors drawn ON TOP (occluders).
+    # Each object gets its OWN color with guaranteed contrast vs the mean
+    # background — boundaries must be VISIBLE (an earlier same-color-family
+    # variant made occluder boundaries undeterminable and the task partly
+    # ill-posed: models memorized the train pool at 0.92 IoU while held-out
+    # click IoU stalled at 0.21). Difficulty comes from clutter, texture,
+    # the gradient background, and occlusion — not from invisibility.
     n_obj = int(rng.integers(3, 7))
-    base = rng.uniform(60, 180, size=3)  # family color — distractors resemble
+    bg_mean = (g0 + g1) / 2
     target = None
     for i in range(n_obj):
         cx0, cy0 = rng.uniform(0.2 * size, 0.8 * size, 2)
         m = _blob_at(rng, size, cx0, cy0,
                      scale=1.0 if i == 0 else rng.uniform(0.5, 1.0))
-        # similar colors: family color + small per-object offset; modest
-        # contrast vs background (the gradient spans the same range)
-        col = np.clip(base + rng.uniform(-25, 25, size=3), 0, 255)
+        for _ in range(16):
+            col = rng.uniform(25, 230, size=3)
+            if np.linalg.norm(col - bg_mean) >= 60:
+                break
         tex = 14.0 * _smooth_noise(rng, size, periods=(7, 13))
         for c in range(3):
             img[..., c] = np.where(m, col[c] + tex, img[..., c])
