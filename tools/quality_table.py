@@ -59,8 +59,11 @@ def main(argv=None):
     args = parse_args(argv)
     import jax
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    from sam_quantization_tpu.cli import apply_platform
+
+    # shared helper: '--platform tpu' must not pin jax_platforms='tpu' on
+    # remote-TPU plugins registered under their own name (e.g. 'axon')
+    apply_platform(args)
     import jax.numpy as jnp
     import numpy as np
 
@@ -365,6 +368,7 @@ def main(argv=None):
         "model": args.model,
         "checkpoint_step": step,
         "eval_samples": args.eval_samples,
+        "scenes": args.scenes,
         "rows": rows,
     }
     if args.merge and prev_rows:
