@@ -15,7 +15,7 @@ import numpy as np
 
 def random_blob_mask(rng: np.random.Generator, size: int, n_ellipses: int = 3):
     """Union of random ellipses — a plausibly-shaped object mask."""
-    yy, xx = np.mgrid[0:size, 0:size]
+    yy, xx = _int_grid(size)
     mask = np.zeros((size, size), bool)
     cx0, cy0 = rng.uniform(0.3 * size, 0.7 * size, 2)
     for _ in range(n_ellipses):
@@ -40,9 +40,9 @@ def synthetic_samples(
       - "easy" (default): one solid-color blob on a solid background —
         saturates a trained model's 5-click mIoU near 0.94, so the quality
         table's quant deltas compress to ~0.001 there.
-      - "hard": 3–6 objects with the GT being ONE target instance among
-        distractors of similar color, on a low-frequency textured gradient
-        background, with reduced target/background contrast and per-object
+      - "hard": 2–4 distinctly-colored objects with the GT being ONE
+        target instance among distractors (later objects occlude it), on a
+        low-frequency textured gradient background with per-object
         texture. Discriminates quant configs where "easy" cannot (a model
         trained on these lands mid-range, leaving headroom in BOTH
         directions for quantization to move).
@@ -65,10 +65,25 @@ def synthetic_samples(
         yield img[None], mask.astype(np.int32)
 
 
+def _int_grid(size: int):
+    """Cached integer ``np.mgrid[0:size, 0:size]`` — one hard scene
+    otherwise rebuilds ~10 size² mgrids (16 MB each at 1024 px) across its
+    noise/blob calls. Kept integer so downstream float math is bit-identical
+    to the uncached form (the committed checkpoints/tables depend on the
+    seeded scene stream)."""
+    global _GRID_CACHE
+    cached = globals().get("_GRID_CACHE")
+    if cached is None or cached[0] != size:
+        g = np.mgrid[0:size, 0:size]
+        _GRID_CACHE = (size, g[0], g[1])
+    return _GRID_CACHE[1], _GRID_CACHE[2]
+
+
 def _smooth_noise(rng: np.random.Generator, size: int, periods=(2, 5, 9)):
     """Low-frequency texture in [-1, 1]: a few random-phase sinusoid products
     (cheap, seeded, no scipy)."""
-    yy, xx = np.mgrid[0:size, 0:size] / size
+    iy, ix = _int_grid(size)
+    yy, xx = iy / size, ix / size
     out = np.zeros((size, size), np.float32)
     for p in periods:
         ax, ay = rng.uniform(0, 2 * np.pi, 2)
@@ -80,7 +95,7 @@ def _smooth_noise(rng: np.random.Generator, size: int, periods=(2, 5, 9)):
 def _blob_at(rng: np.random.Generator, size: int, cx0, cy0, scale=1.0,
              n_ellipses: int = 3):
     """Union of ellipses centered near (cx0, cy0)."""
-    yy, xx = np.mgrid[0:size, 0:size]
+    yy, xx = _int_grid(size)
     mask = np.zeros((size, size), bool)
     for _ in range(n_ellipses):
         cx = cx0 + rng.uniform(-0.10, 0.10) * size
@@ -96,7 +111,7 @@ def _blob_at(rng: np.random.Generator, size: int, cx0, cy0, scale=1.0,
 
 
 def _hard_scene(rng: np.random.Generator, size: int, _tries: int = 8):
-    """Target instance + 2–5 similar-color distractors on a textured
+    """Target instance + 1–3 distinctly-colored distractors on a textured
     gradient background; later objects occlude earlier ones (the GT excludes
     occluded target pixels, like overlapping SBD instances)."""
     # background: gradient + low-frequency texture. Amplitudes tuned so a
@@ -106,7 +121,7 @@ def _hard_scene(rng: np.random.Generator, size: int, _tries: int = 8):
     # which saturates NoC the other way).
     g0 = rng.uniform(60, 180, size=3)
     g1 = rng.uniform(60, 180, size=3)
-    t = (np.mgrid[0:size, 0:size][rng.integers(2)] / size)[..., None]
+    t = (_int_grid(size)[int(rng.integers(2))] / size)[..., None]
     img = (g0[None, None] * (1 - t) + g1[None, None] * t).astype(np.float32)
     for c in range(3):
         img[..., c] += 14.0 * _smooth_noise(rng, size)

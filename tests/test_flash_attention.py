@@ -486,6 +486,8 @@ def test_scoped_jit_cpu_noop_and_passthrough(monkeypatch):
     through this helper so the Lp=224 gate and the raised limit stay paired."""
     from sam_quantization_tpu.ops import flash_attention as fa
 
+    if jax.default_backend() != "cpu":  # pragma: no cover
+        pytest.skip("CPU-no-op semantics only hold on a CPU backend")
     monkeypatch.setenv("SAMQ_SCOPED_VMEM_KIB", "24576")
     # CPU backend: options gate returns None (TPU-only DebugOptions field)
     assert fa.scoped_vmem_compiler_options() is None

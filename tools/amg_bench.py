@@ -87,7 +87,9 @@ def main():
     x = jnp.zeros((1, S, S, 3), jnp.bfloat16)
 
     # --- encoder: scanned distinct inputs, one dispatch --------------------
-    @jax.jit
+    from sam_quantization_tpu.ops.flash_attention import scoped_jit
+
+    @scoped_jit
     def enc_scan(xs):
         def body(acc, xi):
             e = image_encoder.apply(enc_params, xi, ecfg)

@@ -300,7 +300,19 @@ def main(argv=None):
     prev_rows = {}
     if args.merge and os.path.exists(args.out):
         with open(args.out) as f:
-            prev_rows = json.load(f).get("rows", {})
+            prev = json.load(f)
+        prev_rows = prev.get("rows", {})
+        prev_scenes = prev.get("scenes", "easy")
+        if prev_scenes != args.scenes:
+            # refuse cross-distribution merges: a hard-scenes kernel row
+            # CI-checked against an easy-scenes base row is meaningless,
+            # and the merged file's 'scenes' metadata would misdescribe
+            # half its rows
+            raise SystemExit(
+                f"--merge: {args.out} was produced with scenes="
+                f"{prev_scenes!r} but this run uses scenes="
+                f"{args.scenes!r}; use a separate --out per scene style"
+            )
 
     # kernel-path rows are checked against their CPU-eager base row: the
     # click-k mIoU and NoC@90 must land inside the base row's scene-bootstrap
@@ -330,13 +342,15 @@ def main(argv=None):
         base_name = base_of.get(name)
         base = prev_rows.get(base_name) or rows.get(base_name)
         ck = f"click{args.num_clicks}_miou"
-        if base_name and base and ck not in base:
+        need = (ck, f"click{args.num_clicks}_ci95", "noc@90", "noc@90_ci95")
+        missing = [k for k in need if base_name and base and k not in base]
+        if missing:
             # --merge base row from a file produced with a different
-            # --num-clicks: skip the CI check rather than KeyError after
-            # the (expensive) evaluation already ran
-            print(f"  {name}: base row {base_name} has no {ck} "
-                  f"(different --num-clicks run) — CI check skipped",
-                  flush=True)
+            # --num-clicks or an older schema: skip the CI check rather
+            # than KeyError after the (expensive) evaluation already ran
+            print(f"  {name}: base row {base_name} lacks {missing} "
+                  f"(different --num-clicks or older file) — CI check "
+                  f"skipped", flush=True)
             base = None
         if base_name and base:
             checks = {}
@@ -377,10 +391,17 @@ def main(argv=None):
         with open(args.out) as f:
             out = json.load(f)
         out["rows"] = merged
-    out["ci_ok"] = bool(all_within)
-    if not all_within:
+        out["scenes"] = args.scenes
+    # ci_ok covers EVERY row in the written file (a merge run must not
+    # overwrite a previously-recorded failure with this run's True)
+    out["ci_ok"] = bool(all_within) and all(
+        all(r["within_base_ci95"].values())
+        for r in out["rows"].values() if "within_base_ci95" in r
+    )
+    if not out["ci_ok"]:
         print("WARNING: a kernel-path row left its base row's CI95",
               flush=True)
+    all_within = out["ci_ok"]
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     # status + exit code reflect the CI gate so scripted consumers can't
