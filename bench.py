@@ -313,11 +313,14 @@ def main():
                          "enough for ViT-L/H")
     ap.add_argument("--reps", type=int, default=4,
                     help="repetitions of the chained run (min taken)")
-    ap.add_argument("--segments", action="store_true",
+    ap.add_argument("--segments", action="store_true", default=None,
                     help="time embed/windowed/global/neck as four small "
                          "single-dispatch programs and sum device times — "
                          "for ViT-L/H whose whole-program compile exceeds "
-                         "the remote helper (method in BENCHMARKS.md)")
+                         "the remote helper (method in BENCHMARKS.md). "
+                         "Auto-enabled for vit_l/vit_h; --no-segments "
+                         "forces the whole-program path")
+    ap.add_argument("--no-segments", dest="segments", action="store_false")
     ap.add_argument("--seg-reps", type=int, default=4,
                     help="in-dispatch repetitions per segment program")
     ap.add_argument("--static-act", action="store_true",
@@ -360,6 +363,15 @@ def main():
                          "baseline (kernel-iteration A/B runs; the driver's "
                          "bare run always measures both)")
     args = ap.parse_args()
+    if args.segments is None:
+        # auto: whole-program ViT-L/H compiles exceed the axon remote-
+        # compile helper (~70 min broken pipe); segments is how the
+        # official rows are produced (BENCHMARKS.md)
+        args.segments = args.model in ("vit_l", "vit_h")
+        if args.segments:
+            print(f"[bench] {args.model}: --segments auto-enabled "
+                  f"(--no-segments for the whole-program path)",
+                  file=sys.stderr, flush=True)
     from sam_quantization_tpu.cli import apply_platform
 
     apply_platform(args)
